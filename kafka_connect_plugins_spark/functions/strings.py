@@ -1,0 +1,30 @@
+"""String primitives with reference-exact semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def unquote_both_ends(col: Column) -> Column:
+    """Strip exactly one pair of surrounding double quotes from a string.
+
+    Reference: ``UnquoteRecordKey.kt:25`` uses Kotlin ``removeSurrounding("\"")``
+    — the quote is removed only when it is present at BOTH ends and the string
+    is at least 2 chars long; a single leading or trailing quote is preserved
+    (UnquoteRecordKeyTest.kt:66-98). A naive ``regexp_replace('^"|"$', '')``
+    would wrongly strip lone quotes, so this is expressed as a guarded
+    substring.
+    """
+    is_surrounded = col.rlike('^".*"$') & (F.length(col) >= 2)
+    stripped = col.substr(F.lit(2), F.length(col) - 2)
+    return F.when(is_surrounded, stripped).otherwise(col)
+
+
+def hex_of_utf8(col: Column) -> Column:
+    """Lowercase hex encoding of the UTF-8 bytes of a string.
+
+    Reference: ``JsonToHexTransformer.kt:76-79`` formats each byte as "%02x"
+    (lowercase). Spark's ``hex`` yields uppercase, hence the ``lower``.
+    """
+    return F.lower(F.hex(col.cast("binary")))

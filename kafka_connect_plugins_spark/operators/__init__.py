@@ -1,0 +1,28 @@
+"""Operator library: the reference's eight SMTs + engine-native stages."""
+
+from kafka_connect_plugins_spark.operators.base import Pipeline, Stage, registry, stage
+from kafka_connect_plugins_spark.operators.clickhouse_flatten import ClickHouseFlatten
+from kafka_connect_plugins_spark.operators.json_to_hex import JsonToHex
+from kafka_connect_plugins_spark.operators.lww_dedup import LwwDedup
+from kafka_connect_plugins_spark.operators.modify_partition import ModifyPartition
+from kafka_connect_plugins_spark.operators.redshift_flatten import RedshiftFlatten
+from kafka_connect_plugins_spark.operators.salted_repartition import SaltedRepartition
+from kafka_connect_plugins_spark.operators.slack_payload import SlackPayloadUnify
+from kafka_connect_plugins_spark.operators.soft_delete_to_tombstone import SoftDeleteToTombstone
+from kafka_connect_plugins_spark.operators.unquote_record_key import UnquoteRecordKey
+
+__all__ = [
+    "Pipeline",
+    "Stage",
+    "registry",
+    "stage",
+    "ClickHouseFlatten",
+    "JsonToHex",
+    "LwwDedup",
+    "ModifyPartition",
+    "RedshiftFlatten",
+    "SaltedRepartition",
+    "SlackPayloadUnify",
+    "SoftDeleteToTombstone",
+    "UnquoteRecordKey",
+]
