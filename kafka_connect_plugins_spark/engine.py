@@ -1,0 +1,113 @@
+"""End-to-end CDC ingest: change-event envelope → transform chain → MERGE.
+
+This is the reference's deployment shape (source connector → SMT chain →
+upsert sink, README.md:26-31,113-151) re-expressed Spark-first:
+
+    events (envelope rows)
+      → UnquoteRecordKey            (key cleanup, UnquoteRecordKey.kt)
+      → SoftDeleteToTombstone       (deleted_at → null value, SoftDelete...kt)
+      → merge-source projection     (key → (repo, path); value → payload)
+      → LakeTable.merge             (LWW on commit-LSN, exactly-once epoch)
+
+Tombstoned rows carry only the envelope key — exactly Kafka's tombstone
+contract — so the merge-source projection recovers (repo, path) from the
+key, never from the (null) value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_plugins_spark.operators import (
+    Pipeline,
+    SoftDeleteToTombstone,
+    UnquoteRecordKey,
+)
+from kafka_connect_plugins_spark.plans.lake_table import LakeTable, MergeStats
+
+KEY_SEP = "|"
+
+
+def cdc_transform_chain() -> Pipeline:
+    """The standard pre-merge SMT chain for the repo-content stream."""
+    return Pipeline(
+        [
+            UnquoteRecordKey(),
+            SoftDeleteToTombstone({"field": "deleted_at"}),
+        ]
+    )
+
+
+def events_to_merge_source(events: DataFrame) -> DataFrame:
+    """Project transformed envelope rows into the MERGE source contract.
+
+    Output: key columns (repo, path) — always non-null, derived from the
+    envelope key so tombstones keep their identity — plus payload columns,
+    ``_lsn`` (the offset) and ``_tombstone`` (null value).
+    """
+    key_parts = F.split(F.col("key"), r"\|", 2)
+    return events.select(
+        key_parts.getItem(0).alias("repo"),
+        key_parts.getItem(1).alias("path"),
+        F.col("value.commit").alias("commit"),
+        F.col("value.lang").alias("lang"),
+        F.col("value.content").alias("content"),
+        F.col("offset").alias("_lsn"),
+        F.col("value").isNull().alias("_tombstone"),
+    )
+
+
+def apply_batch(
+    table: LakeTable,
+    events: DataFrame,
+    epoch_id: int | None = None,
+    stream_id: str = "default",
+    pipeline: Pipeline | None = None,
+) -> MergeStats:
+    """Run one microbatch of envelope events through the chain into the table."""
+    chain = pipeline if pipeline is not None else cdc_transform_chain()
+    transformed = chain.apply(events)
+    source = events_to_merge_source(transformed)
+    return table.merge(
+        source, lsn_col="_lsn", tombstone_col="_tombstone", epoch_id=epoch_id, stream_id=stream_id
+    )
+
+
+def create_repo_table(
+    spark: SparkSession, root: str, num_buckets: int = 64
+) -> LakeTable:
+    """Create the BASELINE-shaped target table (repo, path, commit, lang, content)."""
+    return LakeTable.create(spark, root, key_columns=["repo", "path"], num_buckets=num_buckets)
+
+
+def replay(
+    table: LakeTable,
+    events: DataFrame,
+    batches: int = 1,
+    events_per_epoch: int | None = None,
+    stream_id: str = "replay",
+) -> list[MergeStats]:
+    """Batch replay of an event log as ``batches`` consecutive epochs.
+
+    Splitting is on LSN ranges, mirroring how a streaming tail would cut
+    microbatches from the log.
+    """
+    if batches <= 1 and events_per_epoch is None:
+        return [apply_batch(table, events, epoch_id=0, stream_id=stream_id)]
+    if events_per_epoch is None:
+        hi = events.agg(F.max("offset")).first()[0] or 0
+        events_per_epoch = (hi + batches) // batches
+    stats: list[MergeStats] = []
+    epoch = 0
+    while True:
+        lo, hi = epoch * events_per_epoch, (epoch + 1) * events_per_epoch
+        batch = events.filter((F.col("offset") >= lo) & (F.col("offset") < hi))
+        st = apply_batch(table, batch, epoch_id=epoch, stream_id=stream_id)
+        stats.append(st)
+        if st.source_rows == 0 and not st.skipped:
+            break
+        epoch += 1
+        if batches and epoch >= batches:
+            break
+    return stats

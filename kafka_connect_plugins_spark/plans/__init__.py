@@ -1,0 +1,5 @@
+"""Physical plans: the lake-table sink (MERGE upsert, snapshots, evolution)."""
+
+from kafka_connect_plugins_spark.plans.lake_table import LakeTable, MergeStats
+
+__all__ = ["LakeTable", "MergeStats"]

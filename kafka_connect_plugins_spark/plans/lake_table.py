@@ -1,0 +1,390 @@
+"""Snapshot-versioned, hash-bucketed lake table with MERGE upsert.
+
+The reference's sinks are external upsert-by-key stores (JDBC upsert,
+ClickHouse ReplacingMergeTree, Redshift — see
+ClickHouseFlattenTransformer.kt:18-57 and README.md:113-151); the north rule
+requires key-partitioned MERGE upserts into an Iceberg table with
+exactly-once epoch guards. This container has no Iceberg runtime jar, so the
+table format is implemented here with the same architectural properties
+Iceberg provides — on a real cluster the ``MergeSink`` swaps to
+``MERGE INTO`` against a genuine Iceberg catalog (see ``iceberg_merge_sql``).
+
+Layout::
+
+    <root>/
+      manifests/v{N}.json   snapshot N: bucket -> data version, epochs, schema
+      _CURRENT              atomic pointer (tmp + os.replace)
+      data/v{N}/_bucket=B/  parquet for bucket B, rewritten at snapshot N
+
+Scale properties (the reasons for each design choice):
+
+- **Key bucketing**: every row lives in bucket ``pmod(xxhash64(repo,path), n)``.
+  MERGE joins source and target *per bucket* — both sides arrive
+  hash-partitioned on the same key space, so the combine is a co-located
+  aggregation, never a broadcast or a full-table sort-merge join.
+- **Dirty-bucket pruning**: a microbatch touches only the buckets its keys
+  hash to; clean buckets are carried forward by manifest reference. Merge
+  I/O is proportional to the touched key space, not table size — the lake
+  analogue of Iceberg merge-on-read file pruning.
+- **Snapshot isolation**: readers resolve ``_CURRENT`` once and read an
+  immutable file set; a crashed merge leaves only unreferenced garbage,
+  never a torn table.
+- **Exactly-once**: each merge records ``(stream_id, epoch_id)`` inside the
+  manifest it commits — the same atomic unit as the data pointer swap, which
+  is precisely Iceberg's snapshot-summary epoch pattern. Replaying a
+  committed epoch is a no-op.
+- **Schema evolution**: the manifest carries the table schema; new nullable
+  payload fields widen it (union-by-field-presence, the Avro resolution
+  semantics of the reference's v1/v2 fixtures — SURVEY.md §1.3); old files
+  are back-filled with nulls at read time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LSN_COL = "_lsn"
+TOMBSTONE_COL = "_tombstone"
+BUCKET_COL = "_bucket"
+_RESERVED = {LSN_COL, TOMBSTONE_COL, BUCKET_COL}
+
+
+@dataclass
+class MergeStats:
+    epoch_id: int | None
+    skipped: bool
+    source_rows: int = 0
+    dirty_buckets: int = 0
+    total_buckets: int = 0
+    rows_written: int = 0
+    schema_added_columns: list[str] = field(default_factory=list)
+    seconds: float = 0.0
+
+
+class SchemaEvolutionError(TypeError):
+    """Incompatible schema change (type conflict / non-additive)."""
+
+
+class LakeTable:
+    """A bucketed, snapshot-versioned upsert table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------------
+    # creation / manifest plumbing
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        key_columns: list[str],
+        num_buckets: int = 64,
+        schema: T.StructType | None = None,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(root, "_CURRENT")):
+            raise FileExistsError(f"table already exists at {root}")
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        table = cls(spark, root)
+        manifest = {
+            "version": 0,
+            "key_columns": list(key_columns),
+            "num_buckets": int(num_buckets),
+            "buckets": {},  # bucket id (str) -> data version (int)
+            "epochs": {},  # stream id -> last committed epoch
+            "schema": json.loads(schema.json()) if schema is not None else None,
+            "summary": {"created_at_ms": int(time.time() * 1000)},
+        }
+        table._write_manifest(manifest)
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        if not os.path.exists(os.path.join(root, "_CURRENT")):
+            raise FileNotFoundError(f"no lake table at {root}")
+        return cls(spark, root)
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            with open(os.path.join(self.root, "_CURRENT")) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(self.root, "manifests", f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        version = manifest["version"]
+        path = os.path.join(self.root, "manifests", f"v{version}.json")
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        # Atomic pointer swap — the commit point (Iceberg's version-hint swap).
+        tmp = os.path.join(self.root, f"_CURRENT.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.root, "_CURRENT"))
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def _table_schema(self, manifest: dict) -> T.StructType | None:
+        if manifest["schema"] is None:
+            return None
+        return T.StructType.fromJson(manifest["schema"])
+
+    def _read_buckets(self, manifest: dict, buckets: list[int] | None) -> DataFrame | None:
+        """Read the current rows of the given buckets (None = all)."""
+        assignments = manifest["buckets"]
+        if buckets is not None:
+            assignments = {b: v for b, v in assignments.items() if int(b) in set(buckets)}
+        if not assignments:
+            return None
+        # Group by data version: one parquet scan per version dir with
+        # basePath, so `_bucket=B` directory pruning applies and the
+        # partition column survives.
+        by_version: dict[int, list[str]] = {}
+        for b, v in assignments.items():
+            by_version.setdefault(int(v), []).append(b)
+        parts = []
+        for v, bs in sorted(by_version.items()):
+            vdir = os.path.join(self.root, "data", f"v{v}")
+            paths = [os.path.join(vdir, f"{BUCKET_COL}={b}") for b in sorted(bs, key=int)]
+            parts.append(self.spark.read.option("basePath", vdir).parquet(*paths))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        # Back-fill columns added after these files were written.
+        schema = self._table_schema(self.manifest())
+        if schema is not None:
+            for f_ in schema.fields:
+                if f_.name not in df.columns:
+                    df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        return df
+
+    def read(self) -> DataFrame:
+        """Current snapshot (table-schema columns: keys, payload, ``_lsn``)."""
+        manifest = self.manifest()
+        df = self._read_buckets(manifest, None)
+        schema = self._table_schema(manifest)
+        if df is None:
+            if schema is None:
+                raise ValueError("empty table with no schema yet")
+            return self.spark.createDataFrame([], schema)
+        return df.select(*[f_.name for f_ in schema.fields])
+
+    def read_internal(self) -> DataFrame | None:
+        """Current snapshot including _lsn/_bucket bookkeeping columns."""
+        return self._read_buckets(self.manifest(), None)
+
+    def last_epoch(self, stream_id: str = "default") -> int:
+        return int(self.manifest()["epochs"].get(stream_id, -1))
+
+    # ------------------------------------------------------------------
+    # schema evolution
+    # ------------------------------------------------------------------
+    def _evolve_schema(
+        self, manifest: dict, incoming: T.StructType
+    ) -> tuple[dict | None, list[str]]:
+        """Union-by-field-presence widening; returns (new schema json, added)."""
+        current = self._table_schema(manifest)
+        if current is None:
+            return json.loads(incoming.json()), [f_.name for f_ in incoming.fields]
+        by_name = {f_.name: f_ for f_ in current.fields}
+        added: list[str] = []
+        fields = list(current.fields)
+        for f_ in incoming.fields:
+            if f_.name in by_name:
+                if by_name[f_.name].dataType != f_.dataType:
+                    raise SchemaEvolutionError(
+                        f"column {f_.name!r}: table has "
+                        f"{by_name[f_.name].dataType.simpleString()}, incoming batch has "
+                        f"{f_.dataType.simpleString()} — only additive evolution is supported"
+                    )
+            else:
+                # New fields arrive nullable — Avro-style add-only widening.
+                fields.append(T.StructField(f_.name, f_.dataType, True, f_.metadata))
+                added.append(f_.name)
+        if not added:
+            return None, []
+        return json.loads(T.StructType(fields).json()), added
+
+    # ------------------------------------------------------------------
+    # MERGE
+    # ------------------------------------------------------------------
+    def merge(
+        self,
+        source: DataFrame,
+        lsn_col: str = "_lsn",
+        tombstone_col: str | None = "_tombstone",
+        epoch_id: int | None = None,
+        stream_id: str = "default",
+    ) -> MergeStats:
+        """MERGE upsert: last-writer-wins per key on the LSN, DELETE on tombstone.
+
+        Semantics (the Iceberg MERGE the north rule specifies)::
+
+            WHEN MATCHED AND source.tombstone AND source.lsn >= target.lsn THEN DELETE
+            WHEN MATCHED AND source.lsn >= target.lsn THEN UPDATE *
+            WHEN NOT MATCHED AND NOT source.tombstone THEN INSERT *
+
+        ``source`` carries the user columns plus an LSN column; rows need not
+        be pre-deduplicated (an in-batch LWW collapse runs first). On equal
+        LSN the source row wins — replaying an already-applied event is
+        therefore idempotent (the content is identical by determinism of the
+        log).
+        """
+        t0 = time.time()
+        manifest = self.manifest()
+        if epoch_id is not None and int(manifest["epochs"].get(stream_id, -1)) >= epoch_id:
+            return MergeStats(epoch_id=epoch_id, skipped=True)
+
+        keys = manifest["key_columns"]
+        n_buckets = manifest["num_buckets"]
+
+        # Normalize bookkeeping columns.
+        src = source.withColumn(LSN_COL, F.col(lsn_col).cast("long"))
+        if lsn_col != LSN_COL:
+            src = src.drop(lsn_col)
+        if tombstone_col is None:
+            src = src.withColumn(TOMBSTONE_COL, F.lit(False))
+        elif tombstone_col != TOMBSTONE_COL:
+            src = src.withColumn(TOMBSTONE_COL, F.coalesce(F.col(tombstone_col), F.lit(False)))
+            src = src.drop(tombstone_col)
+
+        user_fields = [
+            f_ for f_ in src.schema.fields if f_.name not in _RESERVED and f_.name not in keys
+        ]
+        incoming = T.StructType(
+            [src.schema[k] for k in keys]
+            + user_fields
+            + [T.StructField(LSN_COL, T.LongType(), True)]
+        )
+        new_schema_json, added = self._evolve_schema(manifest, incoming)
+
+        src = src.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+        )
+
+        # In-batch LWW collapse BEFORE touching the target: map-side partial
+        # aggregation collapses per-key update storms close to the data. The
+        # event count rides along in the same aggregate, so the raw source is
+        # scanned exactly once; the collapsed batch (small: one row per key)
+        # is cached for the stats read, the dirty-bucket probe and the merge.
+        payload = [c for c in src.columns if c not in keys]
+        collapsed = (
+            src.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct(*payload), F.struct(F.col(LSN_COL))).alias("__w"),
+                F.count(F.lit(1)).alias("__cnt"),
+            )
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload], "__cnt")
+        )
+        collapsed.persist()
+        probe = collapsed.agg(
+            F.sum("__cnt").alias("n"), F.collect_set(BUCKET_COL).alias("buckets")
+        ).first()
+        src_rows = int(probe["n"] or 0)
+        dirty = [int(b) for b in (probe["buckets"] or [])]
+        collapsed = collapsed.drop("__cnt")
+
+        target = self._read_buckets(manifest, dirty)
+        if target is not None:
+            # Align target to the evolved column set; stored rows never tombstone.
+            for f_ in user_fields:
+                if f_.name not in target.columns:
+                    target = target.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+            target = target.withColumn(TOMBSTONE_COL, F.lit(False))
+            target = target.withColumn("__src", F.lit(0))
+            combined = collapsed.withColumn("__src", F.lit(1)).unionByName(
+                target, allowMissingColumns=True
+            )
+        else:
+            combined = collapsed.withColumn("__src", F.lit(1))
+
+        # LWW across source+target; source wins equal-LSN ties (idempotence).
+        pay2 = [c for c in combined.columns if c not in keys]
+        winners = (
+            combined.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*pay2), F.struct(F.col(LSN_COL), F.col("__src"))
+                ).alias("__w")
+            )
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
+        )
+        live = winners.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL, "__src")
+
+        # Write only dirty buckets into the new data version.
+        new_version = int(manifest["version"]) + 1
+        out_dir = os.path.join(self.root, "data", f"v{new_version}")
+        (
+            live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        collapsed.unpersist()
+        written = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(out_dir)
+            if name.startswith(f"{BUCKET_COL}=")
+        }
+
+        buckets = dict(manifest["buckets"])
+        for b in dirty:
+            if b in written:
+                buckets[str(b)] = new_version
+            else:
+                buckets.pop(str(b), None)  # bucket fully deleted
+        new_manifest = {
+            **manifest,
+            "version": new_version,
+            "buckets": buckets,
+            "epochs": {**manifest["epochs"]}
+            if epoch_id is None
+            else {**manifest["epochs"], stream_id: epoch_id},
+            "schema": new_schema_json or manifest["schema"],
+            "summary": {
+                "committed_at_ms": int(time.time() * 1000),
+                "source_rows": src_rows,
+                "dirty_buckets": len(dirty),
+            },
+        }
+        self._write_manifest(new_manifest)
+        return MergeStats(
+            epoch_id=epoch_id,
+            skipped=False,
+            source_rows=src_rows,
+            dirty_buckets=len(dirty),
+            total_buckets=len(buckets),
+            schema_added_columns=added,
+            seconds=time.time() - t0,
+        )
+
+
+def iceberg_merge_sql(table: str, source_view: str, keys: list[str], columns: list[str]) -> str:
+    """The equivalent MERGE for a real Iceberg catalog (cluster deployment).
+
+    On a cluster with iceberg-spark-runtime on the classpath, ``foreachBatch``
+    runs this statement instead of :meth:`LakeTable.merge`; the epoch guard
+    moves into the Iceberg snapshot summary (``snapshot-property.epoch-id``).
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
+    cols = ", ".join(keys + columns)
+    svals = ", ".join(f"s.{c}" for c in keys + columns)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND s._tombstone AND s._lsn >= t._lsn THEN DELETE "
+        f"WHEN MATCHED AND s._lsn >= t._lsn THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED AND NOT s._tombstone THEN INSERT ({cols}) VALUES ({svals})"
+    )

@@ -1,0 +1,164 @@
+"""LakeTable MERGE semantics: LWW, deletes, epochs, evolution, bucket pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_plugins_spark.plans.lake_table import (
+    LakeTable,
+    SchemaEvolutionError,
+)
+
+
+def _table(spark, tmp_path, buckets=8):
+    return LakeTable.create(
+        spark, str(tmp_path / "tbl"), key_columns=["repo", "path"], num_buckets=buckets
+    )
+
+
+def _src(spark, rows):
+    cols = ["repo", "path", "commit", "lang", "content", "_lsn", "_tombstone"]
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows],
+        "repo string, path string, commit string, lang string, content string, "
+        "_lsn long, _tombstone boolean",
+    )
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"]): (r["content"], r["_lsn"])
+        for r in table.read().collect()
+    }
+
+
+def test_insert_then_read(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    stats = t.merge(_src(spark, [
+        {"repo": "r1", "path": "a", "commit": "c1", "lang": "py", "content": "A", "_lsn": 1, "_tombstone": False},
+        {"repo": "r1", "path": "b", "commit": "c2", "lang": "py", "content": "B", "_lsn": 2, "_tombstone": False},
+    ]))
+    assert stats.source_rows == 2 and not stats.skipped
+    assert _state(t) == {("r1", "a"): ("A", 1), ("r1", "b"): ("B", 2)}
+
+
+def test_lww_within_batch_and_across_merges(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    # out-of-order within one batch: LWW picks lsn 9
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "old", "_lsn": 9, "_tombstone": False},
+        {"repo": "r", "path": "p", "content": "mid", "_lsn": 5, "_tombstone": False},
+    ]))
+    assert _state(t)[("r", "p")] == ("old", 9)
+    # a later merge carrying only STALE lsn must not regress the row
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "stale", "_lsn": 3, "_tombstone": False},
+    ]))
+    assert _state(t)[("r", "p")] == ("old", 9)
+    # and a fresher one wins
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "new", "_lsn": 12, "_tombstone": False},
+    ]))
+    assert _state(t)[("r", "p")] == ("new", 12)
+
+
+def test_tombstone_deletes_and_never_inserted_key(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "X", "_lsn": 1, "_tombstone": False},
+    ]))
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "_lsn": 2, "_tombstone": True},  # delete existing
+        {"repo": "r", "path": "ghost", "_lsn": 3, "_tombstone": True},  # never inserted
+    ]))
+    assert _state(t) == {}
+    # stale tombstone must NOT delete a fresher row
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "q", "content": "Y", "_lsn": 10, "_tombstone": False},
+    ]))
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "q", "_lsn": 4, "_tombstone": True},
+    ]))
+    assert _state(t) == {("r", "q"): ("Y", 10)}
+
+
+def test_epoch_idempotence(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    batch = [{"repo": "r", "path": "p", "content": "A", "_lsn": 1, "_tombstone": False}]
+    s1 = t.merge(_src(spark, batch), epoch_id=0, stream_id="s")
+    v_after = t.manifest()["version"]
+    s2 = t.merge(_src(spark, batch), epoch_id=0, stream_id="s")  # replayed epoch
+    assert not s1.skipped and s2.skipped
+    assert t.manifest()["version"] == v_after  # no new snapshot
+    assert t.last_epoch("s") == 0
+    s3 = t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "B", "_lsn": 2, "_tombstone": False},
+    ]), epoch_id=1, stream_id="s")
+    assert not s3.skipped and _state(t)[("r", "p")] == ("B", 2)
+
+
+def test_dirty_bucket_pruning(spark, tmp_path):
+    t = _table(spark, tmp_path, buckets=16)
+    rows = [
+        {"repo": f"r{i}", "path": "p", "content": f"c{i}", "_lsn": i, "_tombstone": False}
+        for i in range(64)
+    ]
+    t.merge(_src(spark, rows))
+    m1 = t.manifest()
+    touched_before = dict(m1["buckets"])
+    # single-key update must rewrite only that key's bucket
+    stats = t.merge(_src(spark, [
+        {"repo": "r0", "path": "p", "content": "c0-v2", "_lsn": 100, "_tombstone": False},
+    ]))
+    assert stats.dirty_buckets == 1
+    m2 = t.manifest()
+    changed = [b for b in m2["buckets"] if m2["buckets"][b] != touched_before.get(b)]
+    assert len(changed) == 1  # exactly one bucket advanced to the new version
+    assert _state(t)[("r0", "p")] == ("c0-v2", 100)
+    assert _state(t)[("r63", "p")] == ("c63", 63)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "A", "_lsn": 1, "_tombstone": False},
+    ]))
+    widened = spark.createDataFrame(
+        [("r", "q", "c", "py", "B", "MIT", 2, False)],
+        "repo string, path string, commit string, lang string, content string, "
+        "license string, _lsn long, _tombstone boolean",
+    )
+    stats = t.merge(widened)
+    assert stats.schema_added_columns == ["license"]
+    rows = {(r["repo"], r["path"]): r for r in t.read().collect()}
+    assert rows[("r", "q")]["license"] == "MIT"
+    assert rows[("r", "p")]["license"] is None  # old rows back-filled with null
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "A", "_lsn": 1, "_tombstone": False},
+    ]))
+    bad = spark.createDataFrame(
+        [("r", "p", 123, 2, False)],
+        "repo string, path string, content long, _lsn long, _tombstone boolean",
+    )
+    with pytest.raises(SchemaEvolutionError, match="content"):
+        t.merge(bad)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "v1", "_lsn": 1, "_tombstone": False},
+    ]))
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "v2", "_lsn": 2, "_tombstone": False},
+    ]))
+    assert t.manifest(1)["version"] == 1  # old snapshot still readable
+    assert _state(t)[("r", "p")] == ("v2", 2)
+
+
+def test_load_missing_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, str(tmp_path / "nope"))
