@@ -274,27 +274,12 @@ class LakeTable:
             BUCKET_COL, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
         )
 
-        # In-batch LWW collapse BEFORE touching the target: map-side partial
-        # aggregation collapses per-key update storms close to the data. The
-        # event count rides along in the same aggregate, so the raw source is
-        # scanned exactly once; the collapsed batch (small: one row per key)
-        # is cached for the stats read, the dirty-bucket probe and the merge.
-        payload = [c for c in src.columns if c not in keys]
-        collapsed = (
-            src.groupBy(*keys)
-            .agg(
-                F.max_by(F.struct(*payload), F.struct(F.col(LSN_COL))).alias("__w"),
-                F.count(F.lit(1)).alias("__cnt"),
-            )
-            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload], "__cnt")
-        )
-        collapsed.persist()
-        probe = collapsed.agg(
-            F.sum("__cnt").alias("n"), F.collect_set(BUCKET_COL).alias("buckets")
-        ).first()
-        src_rows = int(probe["n"] or 0)
-        dirty = [int(b) for b in (probe["buckets"] or [])]
-        collapsed = collapsed.drop("__cnt")
+        # Dirty-bucket probe: a per-bucket count is a near-free aggregation
+        # (map-side partial count over <= num_buckets groups, bytes on the
+        # wire) and yields the event count for the throughput metrics too.
+        probe = src.groupBy(BUCKET_COL).count().collect()
+        dirty = [int(r[BUCKET_COL]) for r in probe]
+        src_rows = int(sum(r["count"] for r in probe))
 
         target = self._read_buckets(manifest, dirty)
         if target is not None:
@@ -304,26 +289,30 @@ class LakeTable:
                     target = target.withColumn(f_.name, F.lit(None).cast(f_.dataType))
             target = target.withColumn(TOMBSTONE_COL, F.lit(False))
             target = target.withColumn("__src", F.lit(0))
-            combined = collapsed.withColumn("__src", F.lit(1)).unionByName(
+            combined = src.withColumn("__src", F.lit(1)).unionByName(
                 target, allowMissingColumns=True
             )
         else:
-            combined = collapsed.withColumn("__src", F.lit(1))
+            combined = src.withColumn("__src", F.lit(1))
 
-        # LWW across source+target; source wins equal-LSN ties (idempotence).
+        # Single LWW aggregation over source events ∪ dirty target rows: the
+        # map-side partial phase collapses per-key update storms before the
+        # one key-hash shuffle in the plan. Source wins equal-LSN ties
+        # (idempotence), encoded by packing (lsn, src) into one long —
+        # a plain-column ordering keeps max_by inside whole-stage codegen
+        # (struct orderings drop to an interpreted comparator that measured
+        # 5-12x slower and anti-scaled with cores).
         pay2 = [c for c in combined.columns if c not in keys]
+        ordering = F.col(LSN_COL) * 2 + F.col("__src")
         winners = (
             combined.groupBy(*keys)
-            .agg(
-                F.max_by(
-                    F.struct(*pay2), F.struct(F.col(LSN_COL), F.col("__src"))
-                ).alias("__w")
-            )
+            .agg(F.max_by(F.struct(*pay2), ordering).alias("__w"))
             .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
         )
         live = winners.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL, "__src")
 
-        # Write only dirty buckets into the new data version.
+        # Write only dirty buckets into the new data version; the bucket
+        # repartition bounds output to one file per touched bucket.
         new_version = int(manifest["version"]) + 1
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
         (
@@ -332,7 +321,6 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        collapsed.unpersist()
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
