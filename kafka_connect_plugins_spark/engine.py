@@ -55,6 +55,7 @@ def events_to_merge_source(events: DataFrame) -> DataFrame:
         F.col("value.content").alias("content"),
         F.col("offset").alias("_lsn"),
         F.col("value").isNull().alias("_tombstone"),
+        F.col("partition").alias("_src_partition"),
     )
 
 
@@ -70,7 +71,12 @@ def apply_batch(
     transformed = chain.apply(events)
     source = events_to_merge_source(transformed)
     return table.merge(
-        source, lsn_col="_lsn", tombstone_col="_tombstone", epoch_id=epoch_id, stream_id=stream_id
+        source,
+        lsn_col="_lsn",
+        tombstone_col="_tombstone",
+        epoch_id=epoch_id,
+        stream_id=stream_id,
+        lineage_col="_src_partition",
     )
 
 

@@ -67,6 +67,9 @@ class MergeStats:
     rows_written: int = 0
     schema_added_columns: list[str] = field(default_factory=list)
     seconds: float = 0.0
+    # Per-source-partition lineage: {partition: {"events": n, "max_lsn": m}}.
+    # The CDC log-position record — filled when merge() gets lineage_col.
+    lineage: dict = field(default_factory=dict)
 
 
 class SchemaEvolutionError(TypeError):
@@ -171,7 +174,12 @@ class LakeTable:
         return df
 
     def read(self) -> DataFrame:
-        """Current snapshot (table-schema columns: keys, payload, ``_lsn``)."""
+        """Current snapshot (table-schema columns: keys, payload, ``_lsn``).
+
+        Delete markers (retained so that a late-arriving lower-LSN insert can
+        never resurrect a deleted key — see :meth:`merge`) are filtered here;
+        they are physically dropped by :meth:`purge_tombstones`.
+        """
         manifest = self.manifest()
         df = self._read_buckets(manifest, None)
         schema = self._table_schema(manifest)
@@ -179,6 +187,8 @@ class LakeTable:
             if schema is None:
                 raise ValueError("empty table with no schema yet")
             return self.spark.createDataFrame([], schema)
+        if TOMBSTONE_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return df.select(*[f_.name for f_ in schema.fields])
 
     def read_internal(self) -> DataFrame | None:
@@ -227,14 +237,22 @@ class LakeTable:
         tombstone_col: str | None = "_tombstone",
         epoch_id: int | None = None,
         stream_id: str = "default",
+        lineage_col: str | None = None,
     ) -> MergeStats:
-        """MERGE upsert: last-writer-wins per key on the LSN, DELETE on tombstone.
+        """MERGE upsert: last-writer-wins per key on the LSN.
 
         Semantics (the Iceberg MERGE the north rule specifies)::
 
-            WHEN MATCHED AND source.tombstone AND source.lsn >= target.lsn THEN DELETE
-            WHEN MATCHED AND source.lsn >= target.lsn THEN UPDATE *
-            WHEN NOT MATCHED AND NOT source.tombstone THEN INSERT *
+            WHEN MATCHED AND source.lsn >= target.lsn THEN UPDATE *   -- incl. tombstone flag
+            WHEN NOT MATCHED THEN INSERT *
+
+        Deletes become RETAINED marker rows (``_tombstone = true``), filtered
+        by :meth:`read` and physically removed by :meth:`purge_tombstones`.
+        Retention makes the merge **order-insensitive across microbatches**:
+        a delete at LSN 100 applied in epoch 1 still out-ranks an insert at
+        LSN 50 arriving in epoch 2 — a physical DELETE would have forgotten
+        LSN 100 and resurrected the key. (Kafka's own log compaction retains
+        tombstones for ``delete.retention.ms`` for exactly this reason.)
 
         ``source`` carries the user columns plus an LSN column; rows need not
         be pre-deduplicated (an in-batch LWW collapse runs first). On equal
@@ -261,7 +279,9 @@ class LakeTable:
             src = src.drop(tombstone_col)
 
         user_fields = [
-            f_ for f_ in src.schema.fields if f_.name not in _RESERVED and f_.name not in keys
+            f_
+            for f_ in src.schema.fields
+            if f_.name not in _RESERVED and f_.name not in keys and f_.name != lineage_col
         ]
         incoming = T.StructType(
             [src.schema[k] for k in keys]
@@ -277,17 +297,38 @@ class LakeTable:
         # Dirty-bucket probe: a per-bucket count is a near-free aggregation
         # (map-side partial count over <= num_buckets groups, bytes on the
         # wire) and yields the event count for the throughput metrics too.
-        probe = src.groupBy(BUCKET_COL).count().collect()
-        dirty = [int(r[BUCKET_COL]) for r in probe]
+        # With lineage_col it also carries the per-source-partition event
+        # count and LSN high-watermark — the CDC log-position lineage —
+        # in the SAME pass (group count <= num_buckets x num_partitions).
+        lineage: dict[int, dict[str, int]] = {}
+        if lineage_col is not None:
+            probe = (
+                src.groupBy(BUCKET_COL, lineage_col)
+                .agg(F.count(F.lit(1)).alias("count"), F.max(LSN_COL).alias("max_lsn"))
+                .collect()
+            )
+            for r in probe:
+                p = r[lineage_col]
+                slot = lineage.setdefault(p, {"events": 0, "max_lsn": -(1 << 62)})
+                slot["events"] += int(r["count"])
+                slot["max_lsn"] = max(slot["max_lsn"], int(r["max_lsn"]))
+            src = src.drop(lineage_col)
+        else:
+            probe = src.groupBy(BUCKET_COL).count().collect()
+        dirty = sorted({int(r[BUCKET_COL]) for r in probe})
         src_rows = int(sum(r["count"] for r in probe))
 
         target = self._read_buckets(manifest, dirty)
         if target is not None:
-            # Align target to the evolved column set; stored rows never tombstone.
+            # Align target to the evolved column set. Stored rows carry their
+            # own tombstone flag: delete markers are RETAINED in the table
+            # (filtered at read) so their LSN keeps shielding the key from
+            # late-arriving lower-LSN inserts — batches need not be LSN-ordered.
             for f_ in user_fields:
                 if f_.name not in target.columns:
                     target = target.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-            target = target.withColumn(TOMBSTONE_COL, F.lit(False))
+            if TOMBSTONE_COL not in target.columns:
+                target = target.withColumn(TOMBSTONE_COL, F.lit(False))
             target = target.withColumn("__src", F.lit(0))
             combined = src.withColumn("__src", F.lit(1)).unionByName(
                 target, allowMissingColumns=True
@@ -309,7 +350,7 @@ class LakeTable:
             .agg(F.max_by(F.struct(*pay2), ordering).alias("__w"))
             .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
         )
-        live = winners.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL, "__src")
+        live = winners.drop("__src")
 
         # Write only dirty buckets into the new data version; the bucket
         # repartition bounds output to one file per touched bucket.
@@ -356,7 +397,68 @@ class LakeTable:
             total_buckets=len(buckets),
             schema_added_columns=added,
             seconds=time.time() - t0,
+            lineage=lineage,
         )
+
+    # ------------------------------------------------------------------
+    # retention
+    # ------------------------------------------------------------------
+    def purge_tombstones(self, below_lsn: int) -> int:
+        """Physically drop delete markers with ``_lsn < below_lsn``.
+
+        The retention job (Kafka ``delete.retention.ms`` analogue): once the
+        ingest's per-partition high watermarks have all passed ``below_lsn``,
+        no in-flight event can carry a lower LSN, so markers below it can no
+        longer shield anything and are safe to remove. Rewrites every bucket
+        that still holds such markers into a new snapshot; returns the number
+        of buckets rewritten.
+        """
+        manifest = self.manifest()
+        current = self._read_buckets(manifest, None)
+        if current is None or TOMBSTONE_COL not in current.columns:
+            return 0
+        is_purgeable = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) & (
+            F.col(LSN_COL) < below_lsn
+        )
+        dirty = [
+            int(r[BUCKET_COL])
+            for r in current.filter(is_purgeable).select(BUCKET_COL).distinct().collect()
+        ]
+        if not dirty:
+            return 0
+        keep = self._read_buckets(manifest, dirty).filter(~is_purgeable)
+        new_version = int(manifest["version"]) + 1
+        out_dir = os.path.join(self.root, "data", f"v{new_version}")
+        (
+            keep.repartition(len(dirty), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(out_dir)
+            if name.startswith(f"{BUCKET_COL}=")
+        }
+        buckets = dict(manifest["buckets"])
+        for b in dirty:
+            if b in written:
+                buckets[str(b)] = new_version
+            else:
+                buckets.pop(str(b), None)  # bucket held only purged markers
+        self._write_manifest(
+            {
+                **manifest,
+                "version": new_version,
+                "buckets": buckets,
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "purged_below_lsn": below_lsn,
+                    "rewritten_buckets": len(dirty),
+                },
+            }
+        )
+        return len(dirty)
 
 
 def iceberg_merge_sql(table: str, source_view: str, keys: list[str], columns: list[str]) -> str:
@@ -365,14 +467,18 @@ def iceberg_merge_sql(table: str, source_view: str, keys: list[str], columns: li
     On a cluster with iceberg-spark-runtime on the classpath, ``foreachBatch``
     runs this statement instead of :meth:`LakeTable.merge`; the epoch guard
     moves into the Iceberg snapshot summary (``snapshot-property.epoch-id``).
+    Delete markers are retained (``_tombstone`` column) and filtered by the
+    reading view, mirroring :meth:`LakeTable.merge`'s order-insensitive
+    semantics; a periodic ``purge`` job deletes markers past the retention
+    LSN (Kafka's ``delete.retention.ms`` analogue).
     """
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
-    cols = ", ".join(keys + columns)
-    svals = ", ".join(f"s.{c}" for c in keys + columns)
+    allcols = columns + ["_tombstone", "_lsn"]
+    sets = ", ".join(f"t.{c} = s.{c}" for c in allcols)
+    cols = ", ".join(keys + allcols)
+    svals = ", ".join(f"s.{c}" for c in keys + allcols)
     return (
         f"MERGE INTO {table} t USING {source_view} s ON {on} "
-        f"WHEN MATCHED AND s._tombstone AND s._lsn >= t._lsn THEN DELETE "
         f"WHEN MATCHED AND s._lsn >= t._lsn THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED AND NOT s._tombstone THEN INSERT ({cols}) VALUES ({svals})"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({svals})"
     )

@@ -40,6 +40,7 @@ def changelog(
     paths_per_repo: int = 200,
     hot_fraction: float = 0.3,
     num_partitions: int | None = None,
+    envelope_partitions: int = 8,
 ) -> DataFrame:
     """Generate ``num_events`` change events in the envelope schema.
 
@@ -100,9 +101,15 @@ def changelog(
         content.alias("content"),
         F.when(is_delete_final, ts).alias("deleted_at"),
     )
+    # Envelope partition = key-hash routing, exactly Kafka's default
+    # partitioner shape (and the reference's ModifyPartition.kt:39-40
+    # CRC32-mod routing) — gives the per-partition lineage record real teeth.
+    env_part = F.pmod(
+        F.crc32(F.concat_ws("|", repo, path_final)), F.lit(envelope_partitions)
+    ).cast("int")
     return rng.select(
         F.lit("repo-content.changes").alias("topic"),
-        F.lit(0).alias("partition"),
+        env_part.alias("partition"),
         i.alias("offset"),
         ts.alias("timestamp"),
         F.concat_ws("|", repo, path_final).alias("key"),

@@ -1,0 +1,143 @@
+"""Structured-Streaming CDC ingest: change-log tail → foreachBatch MERGE.
+
+This is the deployment shape the north rule specifies — the streaming
+analogue of a Kafka Connect worker running the SMT chain between a source
+connector and an upsert sink (reference README.md:26-31). The moving parts:
+
+- **Tail**: ``spark.readStream`` over the change-log directory (file source
+  in this sandbox; on a cluster the same code takes ``format("kafka")`` —
+  only ``tail_changelog`` changes, the sink is source-agnostic). The file
+  source checkpoint tracks which files each microbatch contained, so a
+  restarted query replays an in-flight batch with the SAME epoch id and the
+  SAME rows.
+- **Sink**: ``foreachBatch`` → transform chain → :meth:`LakeTable.merge`.
+  Exactly-once = Spark's at-least-once batch replay × the table's epoch
+  guard: the epoch id is committed inside the same atomic manifest swap as
+  the data pointer, so a batch that already committed is recognized and
+  skipped on redelivery (Iceberg snapshot-summary epoch pattern).
+- **Metrics**: per-epoch JSONL (events/sec, dirty buckets, per-partition
+  LSN high-watermarks) via :class:`MetricsLog`; optional Spark
+  ``StreamingQueryListener`` progress capture.
+
+Watermarks/stateful operators are deliberately absent: like the reference,
+the pipeline is stateless per record; late and duplicate data are handled by
+the LWW-on-LSN merge, which is order-insensitive (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_connect_plugins_spark.engine import apply_batch
+from kafka_connect_plugins_spark.operators import Pipeline
+from kafka_connect_plugins_spark.plans.lake_table import LakeTable, MergeStats
+from kafka_connect_plugins_spark.envelope import envelope_schema
+from kafka_connect_plugins_spark.streaming.metrics import MetricsLog
+
+# Payload struct of the repo-content change stream (BASELINE input shape).
+CHANGELOG_VALUE_TYPE = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("deleted_at", T.LongType(), True),
+    ]
+)
+
+
+def tail_changelog(
+    spark: SparkSession,
+    events_dir: str,
+    value_type: T.DataType = CHANGELOG_VALUE_TYPE,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream the change-event envelope from a parquet log directory.
+
+    The file source is the sandbox stand-in for the binlog/Kafka tail; its
+    checkpoint offsets are file names, giving deterministic batch replay.
+    """
+    reader = spark.readStream.schema(envelope_schema(value_type))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+class StreamingIngest:
+    """Drives microbatches of a change-event stream into a :class:`LakeTable`."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        pipeline: Pipeline | None = None,
+        stream_id: str = "stream",
+        metrics: MetricsLog | None = None,
+    ):
+        self.table = table
+        self.pipeline = pipeline
+        self.stream_id = stream_id
+        self.metrics = metrics
+        self.epoch_stats: list[MergeStats] = []
+
+    # foreachBatch body — runs on the driver once per microbatch.
+    def _apply(self, batch: DataFrame, epoch_id: int) -> None:
+        stats = apply_batch(
+            self.table,
+            batch,
+            epoch_id=int(epoch_id),
+            stream_id=self.stream_id,
+            pipeline=self.pipeline,
+        )
+        self.epoch_stats.append(stats)
+        if self.metrics is not None:
+            self.metrics.record(self.stream_id, stats)
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = False,
+        processing_time: str | None = None,
+    ) -> StreamingQuery:
+        """Start the ingest query.
+
+        ``available_now=True`` drains everything currently in the log and
+        stops (replay / catch-up mode); ``processing_time`` runs a continuous
+        tail. The checkpoint directory makes the query resumable: restarting
+        with the same checkpoint continues from the last committed source
+        offset, and a batch that was mid-flight at the crash is replayed
+        under its original epoch id (then deduplicated by the epoch guard).
+        """
+        writer = (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(f"cdc-ingest-{self.stream_id}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        checkpoint_dir: str,
+        value_type: T.DataType = CHANGELOG_VALUE_TYPE,
+        max_files_per_trigger: int | None = None,
+        timeout_sec: float | None = None,
+    ) -> list[MergeStats]:
+        """Drain the current log contents into the table; returns epoch stats."""
+        stream = tail_changelog(spark, events_dir, value_type, max_files_per_trigger)
+        query = self.start(stream, checkpoint_dir, available_now=True)
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+            raise TimeoutError(f"ingest did not drain within {timeout_sec}s")
+        if query.exception() is not None:
+            raise query.exception()
+        return self.epoch_stats

@@ -162,3 +162,59 @@ def test_snapshot_time_travel(spark, tmp_path):
 def test_load_missing_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         LakeTable.load(spark, str(tmp_path / "nope"))
+
+
+def test_delete_marker_blocks_late_lower_lsn_insert(spark, tmp_path):
+    """Out-of-order ACROSS merges: a retained delete marker (lsn 100) must not
+    let a late insert (lsn 50) resurrect the key — the failure mode of
+    physical-DELETE merge sinks when microbatches are not LSN-ordered."""
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "_lsn": 100, "_tombstone": True},
+    ]))
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "late", "_lsn": 50, "_tombstone": False},
+    ]))
+    assert _state(t) == {}
+    # but a genuinely fresher insert re-creates it
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "content": "new", "_lsn": 101, "_tombstone": False},
+    ]))
+    assert _state(t) == {("r", "p"): ("new", 101)}
+
+
+def test_purge_tombstones_retention(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "live", "content": "X", "_lsn": 1, "_tombstone": False},
+        {"repo": "r", "path": "dead1", "_lsn": 5, "_tombstone": True},
+        {"repo": "r", "path": "dead2", "_lsn": 50, "_tombstone": True},
+    ]))
+    internal = t.read_internal()
+    assert internal.count() == 3  # markers retained
+    rewritten = t.purge_tombstones(below_lsn=10)  # dead1 ages out, dead2 kept
+    assert rewritten >= 1
+    kept = {
+        (r["repo"], r["path"]) for r in t.read_internal().select("repo", "path").collect()
+    }
+    assert kept == {("r", "live"), ("r", "dead2")}
+    assert _state(t) == {("r", "live"): ("X", 1)}
+    assert t.purge_tombstones(below_lsn=10) == 0  # idempotent / no-op second pass
+    # marker still shields until it is purged: late insert below 50 stays dead
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "dead2", "content": "zombie", "_lsn": 20, "_tombstone": False},
+    ]))
+    assert ("r", "dead2") not in _state(t)
+
+
+def test_lineage_probe(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = _src(spark, [
+        {"repo": "r", "path": "a", "content": "A", "_lsn": 1, "_tombstone": False},
+        {"repo": "r", "path": "b", "content": "B", "_lsn": 7, "_tombstone": False},
+        {"repo": "r", "path": "c", "content": "C", "_lsn": 4, "_tombstone": False},
+    ]).withColumn("part", (F.col("_lsn") % 2).cast("int"))
+    st = t.merge(src, lineage_col="part")
+    assert st.lineage == {0: {"events": 1, "max_lsn": 4}, 1: {"events": 2, "max_lsn": 7}}
+    # lineage column is bookkeeping only — it must not land in the table schema
+    assert "part" not in [f.name for f in t.read().schema.fields]
