@@ -29,6 +29,16 @@ from kafka_connect_plugins_spark.operators import (
     UnquoteRecordKey,
 )
 from kafka_connect_plugins_spark.functions.hashing import crc32_pmod
+from kafka_connect_plugins_spark.functions.text import (
+    bpe_ish_tokens,
+    quality_features,
+    rolling_fingerprint,
+)
+from kafka_connect_plugins_spark.operators import neardup, similarity
+from kafka_connect_plugins_spark.operators.multimodal import (
+    media_features,
+    media_from_documents,
+)
 
 EPOCH0 = 1_700_000_000_000
 
@@ -419,6 +429,135 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
+    return neardup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", neardup.simhash(F.col("text")).alias("simhash"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: chunk-banding candidates, hamming <= 10."""
+    return neardup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=10
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs within the same source (blocked baseline)."""
+    return neardup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", block_col="source", n=3,
+        threshold=0.2,
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (threshold matched to
+    the synthetic embeddings, whose top within-label cosine is ~0.45)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .withColumn("sim", similarity.cosine(F.col("l.e"), F.col("r.e")))
+        .filter(F.col("sim") >= 0.35)
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
+
+
+N_CENTROIDS = 8
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: deterministic codebook (vec_id < 8), n_probe=1."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in e.filter(F.col("vec_id") < N_CENTROIDS).collect()
+    ]
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= 16).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    return similarity.ivf_topk(q, c, cents, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHP-LSH bucketed ANN top-5 (exact cosine within the bucket)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    return similarity.lsh_topk(q, c, n_planes=N_PLANES, dim=EMB_DIM, k=5)
+
+
+def q_token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (regex token classes)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z]+$")))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]$"))).cast("long").alias("n_digit_tokens"),
+        F.size(F.filter(toks, lambda t: ~t.rlike("^[a-zA-Z0-9]")))
+        .cast("long")
+        .alias("n_mark_tokens"),
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-filter features."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints (raw + normalized)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        rolling_fingerprint(norm).alias("fp_norm"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → Arrow-batched byte features.
+
+    (entropy is computed by the operator but excluded here — the DuckDB
+    oracle states n_bytes/sha256/magic independently; entropy parity is
+    covered by unit tests.)"""
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return media_features(media).select("media_id", "kind", "n_bytes", "sha256", "magic")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unquote_record_key": q_unquote_record_key,
@@ -437,12 +576,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_docs": q_simhash_docs,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "token_bpe_stats": q_token_bpe_stats,
+        "quality_features": q_quality_features,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "media_features": q_media_features,
     }
 
 
 # ----------------------------------------------------------------------
 # oracles
 # ----------------------------------------------------------------------
+
+# sha256-derived 60-bit hash — mirrors functions/text.stable_hash60 exactly.
+def _h60_sql(expr: str) -> str:
+    return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, i, 5))"
+)
+_WS_TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+_NORM_TEXT_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_BPE_PATTERN_SQL = "'[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'"
+_MERSENNE31 = 2147483647
+_FP_MOD = 9007199254740881
+
+
+def _rolling_fp_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(split({expr}, ''), c -> ord(c)::BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % {_FP_MOD})"
+    )
+
+
+# 60-bit SimHash over whitespace tokens — mirrors operators/neardup.simhash.
+_SIMHASH_SQL = (
+    "list_sum(list_transform(range(0, 60), b -> CASE WHEN "
+    "list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0 "
+    "THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT"
+)
+_HS_SQL = f"list_transform({_WS_TOKENS_SQL}, t -> {_h60_sql('t')})"
+
+_COS_SQL = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _plane_sql(p: int, dim: int) -> str:
+    """Deterministic hyperplane — mirrors operators/similarity.hyperplane."""
+    comp = _h60_sql(f"'plane{p}:' || i::VARCHAR")
+    return f"list_transform(range(0, {dim}), i -> (({comp} % 2001) - 1000) / 1000.0)"
+
+
+def _rhp_bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        comp = _h60_sql(f"'plane{p}:' || i::VARCHAR")
+        dotp = (
+            f"list_sum(list_transform(range(0, {dim}), "
+            f"i -> {vec}[i + 1] * ((({comp} % 2001) - 1000) / 1000.0)))"
+        )
+        terms.append(f"CASE WHEN {dotp} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(terms) + ")"
+
 
 def oracle_sql() -> dict[str, str]:
     minhash_cols = ", ".join(
@@ -592,6 +797,149 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id,
                    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform({_SHINGLES_SQL}, s -> {_h60_sql('s')}) AS hs,
+                     list_distinct({_SHINGLES_SQL}) AS sh
+              FROM documents),
+            sig AS (
+              SELECT doc_id, sh,
+                     [{", ".join(
+                         f"list_min(list_transform(hs, x -> ({a} * (x % {_MERSENNE31}) + {b}) % {_MERSENNE31}))"
+                         for (a, b) in _MINHASH_PARAMS
+                     )}] AS mh
+              FROM h),
+            bands AS (
+              SELECT doc_id, b.band,
+                     sha256(array_to_string(list_slice(mh, b.band * 2 + 1, b.band * 2 + 2), '_')) AS bucket
+              FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+            v AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+              FROM cand JOIN h a ON a.doc_id = id_a JOIN h b ON b.doc_id = id_b)
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5
+        """,
+        "simhash_docs": f"""
+            SELECT doc_id, {_SIMHASH_SQL} AS simhash
+            FROM (SELECT doc_id, {_HS_SQL} AS hs FROM documents)
+        """,
+        "simhash_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, {_SIMHASH_SQL} AS sim
+              FROM (SELECT doc_id, {_HS_SQL} AS hs FROM documents))
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   CAST(bit_count(xor(l.sim, r.sim)) AS INT) AS hamming
+            FROM s l, s r
+            WHERE l.doc_id < r.doc_id
+              AND ({" OR ".join(
+                  f"((l.sim >> {c * 10}) & 1023) = ((r.sim >> {c * 10}) & 1023)"
+                  for c in range(6)
+              )})
+              AND bit_count(xor(l.sim, r.sim)) <= 10
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH g AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       range(1, greatest(len({_WS_TOKENS_SQL}) - 2, 1) + 1),
+                       i -> array_to_string(list_slice({_WS_TOKENS_SQL}, i, i + 2), ' '))) AS g
+              FROM documents)
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   round(len(list_intersect(l.g, r.g))::DOUBLE
+                         / len(list_distinct(list_concat(l.g, r.g))), 6) AS jaccard
+            FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id
+            WHERE len(list_intersect(l.g, r.g))::DOUBLE
+                  / len(list_distinct(list_concat(l.g, r.g))) >= 0.2
+        """,
+        "embedding_neardup": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   round({_COS_SQL.format(a="l.e", b="r.e")}, 6) AS sim_r
+            FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE {_COS_SQL.format(a="l.e", b="r.e")} >= 0.35
+        """,
+        "ann_ivf": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            cent AS (SELECT vec_id AS cid, e AS ce FROM e WHERE vec_id < {N_CENTROIDS}),
+            asg AS (
+              SELECT vec_id, e, cid AS list_id FROM (
+                SELECT v.vec_id, v.e, cent.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_COS_SQL.format(a="v.e", b="cent.ce")} DESC, cent.cid DESC) AS rn
+                FROM e v, cent) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, e AS qe, list_id FROM asg
+                  WHERE vec_id >= 8 AND vec_id < 16),
+            c AS (SELECT vec_id AS neighbor_id, e AS ce, list_id FROM asg WHERE vec_id >= 16),
+            s AS (SELECT query_id, neighbor_id, {_COS_SQL.format(a="qe", b="ce")} AS sim
+                  FROM q JOIN c USING (list_id))
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+                   round(sim, 6) AS sim_r
+            FROM s QUALIFY rank <= 5
+        """,
+        "ann_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            b AS (SELECT vec_id, e, {_rhp_bucket_sql("e", N_PLANES, EMB_DIM)} AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, e AS ce, bucket FROM b WHERE vec_id >= 5),
+            s AS (SELECT query_id, neighbor_id, {_COS_SQL.format(a="qe", b="ce")} AS sim
+                  FROM q JOIN c USING (bucket))
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS INT) AS rank,
+                   round(sim, 6) AS sim_r
+            FROM s QUALIFY rank <= 5
+        """,
+        "token_bpe_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, {_BPE_PATTERN_SQL}))::BIGINT AS n_bpe_tokens,
+                   len(list_filter(regexp_extract_all(text, {_BPE_PATTERN_SQL}),
+                       t -> regexp_matches(t, '^[a-zA-Z]+$')))::BIGINT AS n_word_tokens,
+                   len(list_filter(regexp_extract_all(text, {_BPE_PATTERN_SQL}),
+                       t -> regexp_matches(t, '^[0-9]$')))::BIGINT AS n_digit_tokens,
+                   len(list_filter(regexp_extract_all(text, {_BPE_PATTERN_SQL}),
+                       t -> NOT regexp_matches(t, '^[a-zA-Z0-9]')))::BIGINT AS n_mark_tokens
+            FROM documents
+        """,
+        "quality_features": f"""
+            SELECT doc_id,
+                   len({_WS_TOKENS_SQL})::BIGINT AS n_tokens,
+                   len(list_distinct({_WS_TOKENS_SQL}))::BIGINT AS n_unique_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1), 4) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   round(len(list_distinct({_WS_TOKENS_SQL}))::DOUBLE
+                         / greatest(len({_WS_TOKENS_SQL}), 1), 4) AS uniq_ratio,
+                   round((length(text) - len({_WS_TOKENS_SQL}) + 1)::DOUBLE
+                         / greatest(len({_WS_TOKENS_SQL}), 1), 4) AS mean_token_len
+            FROM documents
+        """,
+        "rolling_fingerprint": f"""
+            SELECT doc_id,
+                   {_rolling_fp_sql("text")} AS fp,
+                   {_rolling_fp_sql(_NORM_TEXT_SQL)} AS fp_norm
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   (4 + octet_length(encode(text)))::BIGINT AS n_bytes,
+                   sha256((CASE (doc_id % 3) WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0'
+                           ELSE 'VID0' END) || text) AS sha256,
+                   CASE (doc_id % 3) WHEN 0 THEN '494d4730' WHEN 1 THEN '41554430'
+                        ELSE '56494430' END AS magic
             FROM documents
         """,
     }

@@ -1,5 +1,8 @@
-"""Operator library: the reference's eight SMTs + engine-native stages."""
+"""Operator library: the reference's eight SMTs + engine-native stages +
+training-data-pipeline operators (near-dup detection, similarity search,
+multimodal plumbing)."""
 
+from kafka_connect_plugins_spark.operators import multimodal, neardup, similarity  # noqa: F401
 from kafka_connect_plugins_spark.operators.base import Pipeline, Stage, registry, stage
 from kafka_connect_plugins_spark.operators.clickhouse_flatten import ClickHouseFlatten
 from kafka_connect_plugins_spark.operators.json_to_hex import JsonToHex

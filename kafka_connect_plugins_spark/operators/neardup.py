@@ -1,0 +1,282 @@
+"""Near-duplicate detection for training-data pipelines.
+
+Three detectors over a document table, all expressed as native-Column plans
+(no Python in the hot path) so Catalyst fuses each stage into whole-stage
+codegen and the only shuffles are the ones the algorithms inherently need:
+
+- **Exact dedup** — content fingerprint + hash groupBy (one shuffle on the
+  fingerprint).
+- **MinHash + LSH** — shingle → minhash signature (map-only) → band →
+  bucket self-join (shuffle on band key; candidate count is output-bounded,
+  never all-pairs) → exact-Jaccard verification of candidates only.
+- **SimHash** — 60-bit bit-majority signature (map-only); chunk-match
+  banding for candidate pairs (pigeonhole: hamming <= #chunks-1 guarantees
+  a matching chunk).
+
+Scale notes: the all-pairs Jaccard joins are the quadratic trap at 100 TB —
+LSH banding is the scale path (pairs ∝ true-duplicate density), which is why
+the banded variants are the primary API and the exact pairwise verify only
+ever touches LSH candidates. Hashes derive from sha2 so DuckDB oracles
+reproduce them exactly (functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_plugins_spark.functions.text import (
+    hash_array60,
+    shingles,
+    ws_tokens,
+)
+
+# Default universal-hash permutations (a, b) for minhash: h_i = (a*h + b) % p.
+MINHASH_PARAMS = [
+    (3, 17), (5, 101), (7, 919), (11, 3271),
+    (13, 9511), (17, 27961), (19, 81031), (23, 232861),
+]
+MERSENNE_31 = 2147483647
+SIMHASH_BITS = 60
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: normalized-token-set fingerprint → hash groupBy."""
+    fp = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(ws_tokens(F.col(text_col)))), " "), 256
+    )
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    params: list[tuple[int, int]] = MINHASH_PARAMS,
+) -> DataFrame:
+    """(id, mh: array<long>) — one minhash per (a, b) permutation.
+
+    Map-only: shingle set and all permutations evaluate in a single projection
+    over the scan; nothing shuffles until a downstream consumer groups.
+    """
+    h = hash_array60(shingles(F.col(text_col), shingle_k))
+    # Reduce the 60-bit hash mod p BEFORE multiplying: a * (x % p) + b stays
+    # under 2^36, so the permutation never overflows a signed 64-bit long.
+    sig = F.array(
+        *[
+            F.array_min(F.transform(h, lambda x: (a * (x % MERSENNE_31) + b) % MERSENNE_31))
+            for (a, b) in params
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("mh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    params: list[tuple[int, int]] = MINHASH_PARAMS,
+    rows_per_band: int = 2,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH banding for candidates, exact Jaccard verify.
+
+    Plan shape (the 100 TB path):
+      1. signature projection (map-only over the scan)
+      2. explode to one row per band; bucket key = sha2 of the band slice
+      3. self-equi-join on (band, bucket) — Spark plans a shuffled hash join
+         on the key; only colliding docs ever meet, never the full cross
+      4. exact Jaccard over the two shingle sets, verified per candidate pair
+    """
+    n_bands = len(params) // rows_per_band
+    sigs = minhash_signature(df, id_col, text_col, shingle_k, params)
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha2(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "_",
+                            ),
+                            256,
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(text_col: F.Column, bits: int = SIMHASH_BITS) -> F.Column:
+    """Bit-majority SimHash over whitespace tokens (Charikar 2002 shape).
+
+    Per row: token hashes → per-bit ±1 sums → sign bits packed into a long.
+    O(tokens x bits) native array math inside one projection.
+    """
+    h = hash_array60(ws_tokens(text_col))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    # Bit positions are Python literals (shiftright requires an int), so the
+    # per-token ±1 bit vector unrolls at plan time; the fold accumulates the
+    # 60 bit-sums and the aggregate's finish lambda packs sign bits against a
+    # literal powers-of-two array — one pass over the token hashes.
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+
+    def bits_of(x: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.when(F.shiftright(x, b).bitwiseAND(1) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(bits)
+            ]
+        )
+
+    return F.aggregate(
+        h,
+        zero,
+        lambda acc, x: F.zip_with(acc, bits_of(x), lambda a, c: a + c),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc,
+                powers,
+                lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 10,
+    n_chunks: int = 6,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: chunk-banding candidates, hamming verify.
+
+    Split the signature into ``n_chunks`` chunks; any pair within hamming
+    distance < n_chunks must agree on at least one whole chunk (pigeonhole),
+    so the equi-join on (chunk index, chunk value) finds all such pairs
+    without an all-pairs comparison. ``bit_count(a XOR b)`` verifies.
+    """
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sim"))
+    chunks = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * chunk_bits)
+                        .bitwiseAND(mask)
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.val")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard over pairs sharing a blocking key.
+
+    The honest quadratic baseline, bounded by blocking (pairs only within
+    ``block_col`` groups) — the verifier against which the LSH variants are
+    judged. At scale the block key bounds the join fan-out.
+    """
+    toks = ws_tokens(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    g = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"), grams.alias("g"))
+    l, r = g.alias("l"), g.alias("r")
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                F.size(F.array_intersect("l.g", "r.g"))
+                / F.size(F.array_union("l.g", "r.g")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,89 @@
+"""Near-dup detectors: exact groups, MinHash/LSH, SimHash, n-gram Jaccard."""
+
+from pyspark.sql import functions as F
+
+from kafka_connect_plugins_spark.operators.neardup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+NEAR = BASE.replace("warm mat", "cold mat")  # one-token edit: near-duplicate
+FAR = "completely different subject matter about distributed query engines and shuffle strategies"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE, "s0"), (1, NEAR, "s0"), (2, FAR, "s0"), (3, BASE, "s1")],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_exact_dedup_groups(spark):
+    groups = exact_dedup_groups(_docs(spark), "doc_id", "text").collect()
+    by_keeper = {r["keeper"]: r["group_size"] for r in groups}
+    assert by_keeper[0] == 2  # docs 0 and 3 identical
+    assert by_keeper[1] == 1 and by_keeper[2] == 1
+    # token-set fingerprint: permuted tokens collapse to one group
+    perm = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "gamma alpha beta beta")], "doc_id long, text string"
+    )
+    g2 = exact_dedup_groups(perm, "doc_id", "text").collect()
+    assert len(g2) == 1 and g2[0]["group_size"] == 2
+
+
+def test_minhash_signature_properties(spark):
+    sigs = {r["id"]: r["mh"] for r in minhash_signature(_docs(spark), "doc_id", "text").collect()}
+    assert sigs[0] == sigs[3]  # identical text, identical signature
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree_near > agree_far  # signature agreement tracks Jaccard
+    assert all(v >= 0 for v in sigs[0])  # no sign-wrap from the permutation
+
+
+def test_minhash_lsh_pairs_finds_neardups_only(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", verify_threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # exact duplicate
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5  # near duplicate
+    assert not any(2 in p for p in pairs)  # FAR never pairs
+
+
+def test_simhash_distance_tracks_similarity(spark):
+    df = _docs(spark).select("doc_id", simhash(F.col("text")).alias("s"))
+    s = {r["doc_id"]: r["s"] for r in df.collect()}
+    assert s[0] == s[3]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+    assert all(v >= 0 for v in s.values())  # 60-bit: never sign-wraps
+
+
+def test_simhash_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=10).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 10
+    assert not any(2 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs_blocking_and_values(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", block_col="source", n=3, threshold=0.1
+        ).collect()
+    }
+    # doc 3 is in block s1 — identical text but never compared (blocking)
+    assert not any(3 in p for p in out)
+    assert (0, 1) in out and 0.5 < out[(0, 1)] < 1.0
+    assert (0, 2) not in out  # below threshold

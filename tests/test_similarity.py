@@ -1,0 +1,88 @@
+"""Similarity search: brute-force top-k, RHP-LSH, IVF assignment/search."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_connect_plugins_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+    rhp_bucket,
+)
+
+
+def _vec(angle: float, scale: float = 1.0) -> list[float]:
+    return [scale * math.cos(angle), scale * math.sin(angle)]
+
+
+def _frames(spark):
+    # queries at angles 0 and pi/2; candidates fan out between them
+    q = spark.createDataFrame(
+        [(0, _vec(0.0)), (1, _vec(math.pi / 2))], "query_id long, qe array<double>"
+    )
+    c = spark.createDataFrame(
+        [(10, _vec(0.05)), (11, _vec(0.4)), (12, _vec(1.2)), (13, _vec(1.5, 3.0))],
+        "neighbor_id long, ce array<double>",
+    )
+    return q, c
+
+
+def test_brute_force_topk_ranking(spark):
+    q, c = _frames(spark)
+    out = brute_force_topk(q, c, k=2).collect()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out}
+    # cosine ignores scale: 13 (angle 1.5, len 3) is closest to query 1 (pi/2)
+    assert got[(0, 1)] == 10 and got[(0, 2)] == 11
+    assert got[(1, 1)] == 13 and got[(1, 2)] == 12
+    sims = {r["neighbor_id"]: r["sim_r"] for r in out if r["query_id"] == 0}
+    assert abs(sims[10] - math.cos(0.05)) < 1e-6
+
+
+def test_lsh_bucket_deterministic_and_identical_vector_found(spark):
+    q = spark.createDataFrame([(0, _vec(0.3))], "query_id long, qe array<double>")
+    c = spark.createDataFrame(
+        [(5, _vec(0.3)), (6, _vec(0.31)), (7, _vec(2.9))],
+        "neighbor_id long, ce array<double>",
+    )
+    out = lsh_topk(q, c, n_planes=6, dim=2, k=3).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids[0] == 5  # identical vector: same bucket by construction, rank 1
+    # bucket function is a pure deterministic column
+    b = (
+        spark.range(1)
+        .select(rhp_bucket(F.array(F.lit(0.5), F.lit(0.5)), 6, 2).alias("b"))
+        .first()["b"]
+    )
+    b2 = (
+        spark.range(1)
+        .select(rhp_bucket(F.array(F.lit(0.5), F.lit(0.5)), 6, 2).alias("b"))
+        .first()["b"]
+    )
+    assert b == b2 and 0 <= b < 64
+
+
+def test_ivf_assign_is_map_only_argmax(spark):
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(0, _vec(0.1)), (1, _vec(1.4)), (2, _vec(0.7))], "vid long, e array<double>"
+    )
+    out = ivf_assign(df, cents, "e")
+    got = {r["vid"]: r["list_id"] for r in out.collect()}
+    # 0.7 rad: cos(0.7)=0.765 to centroid 0 beats cos(0.87)=0.645 to centroid 1
+    assert got == {0: 0, 1: 1, 2: 0}
+    # map-only: the physical plan must contain no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ivf_topk_matches_bruteforce_within_list(spark):
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    q, c = _frames(spark)
+    out = ivf_topk(q, c, cents, k=10)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+    # query 0 probes list 0 = {10, 11}; query 1 probes list 1 = {12, 13}
+    assert got[(0, 1)] == 10 and got[(0, 2)] == 11
+    assert got[(1, 1)] == 13 and got[(1, 2)] == 12
+    assert (0, 3) not in got  # other list never scanned (n_probe=1)
