@@ -429,6 +429,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.sha2(norm, 256).alias("fingerprint"))
 
 
+def q_redact_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RedactFields: sha256-pseudonymize props, drop deleted_at from value."""
+    from kafka_connect_plugins_spark.operators import RedactFields
+
+    env = _events_envelope(spark, sf_dir)
+    hashed = RedactFields({"fields": "props", "mode": "hash"}).apply(env)
+    dropped = RedactFields({"fields": "deleted_at", "mode": "drop"}).apply(hashed)
+    n_fields = len(dropped.schema["value"].dataType.fieldNames())
+    return dropped.select(
+        F.col("offset").alias("event_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.props").alias("props_hash"),
+        F.lit(n_fields).cast("int").alias("n_value_fields"),  # deleted_at gone
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
     return neardup.minhash_lsh_pairs(
@@ -450,11 +466,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs within the same source (blocked baseline)."""
-    return neardup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", block_col="source", n=3,
-        threshold=0.2,
+    """Exact 3-gram Jaccard pairs within the same (source, lang) block."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", "source", "lang")
     )
+    return neardup.ngram_jaccard_pairs(docs, "doc_id", "text", block_col="blk", n=3,
+                                       threshold=0.2)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "redact_fields": q_redact_fields,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_docs": q_simhash_docs,
         "simhash_pairs": q_simhash_pairs,
@@ -602,6 +620,13 @@ def _h60_sql(expr: str) -> str:
 _SHINGLES_SQL = (
     "list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, i, 5))"
 )
+# LSH geometry — must mirror operators/neardup.minhash_lsh_pairs defaults.
+_LSH_K, _LSH_R = 7, 4
+_LSH_SHINGLES_SQL = (
+    f"list_transform(range(1, greatest(length(text) - {_LSH_K - 1}, 1) + 1),"
+    f" i -> substr(text, i, {_LSH_K}))"
+)
+_LSH_BANDS_SQL = ", ".join(f"({b})" for b in range(len(_MINHASH_PARAMS) // _LSH_R))
 _WS_TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
 _NORM_TEXT_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 _BPE_PATTERN_SQL = "'[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'"
@@ -799,11 +824,18 @@ def oracle_sql() -> dict[str, str]:
                    sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
             FROM documents
         """,
+        "redact_fields": """
+            SELECT event_id,
+                   event_type,
+                   sha256(props) AS props_hash,
+                   3 AS n_value_fields
+            FROM events
+        """,
         "minhash_lsh_pairs": f"""
             WITH h AS (
               SELECT doc_id,
-                     list_transform({_SHINGLES_SQL}, s -> {_h60_sql('s')}) AS hs,
-                     list_distinct({_SHINGLES_SQL}) AS sh
+                     list_transform({_LSH_SHINGLES_SQL}, s -> {_h60_sql('s')}) AS hs,
+                     list_distinct({_LSH_SHINGLES_SQL}) AS sh
               FROM documents),
             sig AS (
               SELECT doc_id, sh,
@@ -814,8 +846,10 @@ def oracle_sql() -> dict[str, str]:
               FROM h),
             bands AS (
               SELECT doc_id, b.band,
-                     sha256(array_to_string(list_slice(mh, b.band * 2 + 1, b.band * 2 + 2), '_')) AS bucket
-              FROM sig, (VALUES (0), (1), (2), (3)) b(band)),
+                     sha256(array_to_string(
+                       list_slice(mh, b.band * {_LSH_R} + 1, b.band * {_LSH_R} + {_LSH_R}),
+                       '_')) AS bucket
+              FROM sig, (VALUES {_LSH_BANDS_SQL}) b(band)),
             cand AS (
               SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
               FROM bands l JOIN bands r
@@ -847,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": f"""
             WITH g AS (
-              SELECT doc_id, source,
+              SELECT doc_id, source || '|' || lang AS blk,
                      list_distinct(list_transform(
                        range(1, greatest(len({_WS_TOKENS_SQL}) - 2, 1) + 1),
                        i -> array_to_string(list_slice({_WS_TOKENS_SQL}, i, i + 2), ' '))) AS g
@@ -855,7 +889,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id AS id_a, r.doc_id AS id_b,
                    round(len(list_intersect(l.g, r.g))::DOUBLE
                          / len(list_distinct(list_concat(l.g, r.g))), 6) AS jaccard
-            FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id
+            FROM g l JOIN g r ON l.blk = r.blk AND l.doc_id < r.doc_id
             WHERE len(list_intersect(l.g, r.g))::DOUBLE
                   / len(list_distinct(list_concat(l.g, r.g))) >= 0.2
         """,

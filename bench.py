@@ -35,6 +35,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EPOCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH_EVENTS", "1000000"))
 N_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))  # + 1 warmup
+# Scaling-phase epoch size (x EPOCH_EVENTS). The north rule targets 10^10-event
+# replays whose microbatches are O(10^8); small epochs measure Spark's fixed
+# per-job latency (driver scheduling, manifest commit), not the engine. 24M
+# events/epoch is the smallest size where those serial costs fall under ~5%.
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "24"))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
@@ -99,7 +104,7 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3) -> dict:
     from kafka_connect_plugins_spark.plans.lake_table import LakeTable
 
     low_cores, high_cores = max(CPUS // 4, 1), CPUS
-    warm, big = EPOCH_EVENTS, EPOCH_EVENTS * 6
+    warm, big = EPOCH_EVENTS, EPOCH_EVENTS * SCALE_MULT
     rates: dict[int, list[tuple[float, int]]] = {low_cores: [], high_cores: []}
     for cores in (low_cores, high_cores):  # warmup + table creation
         spark = _session(cores)
@@ -150,7 +155,8 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3) -> dict:
 def generate_events(tmp: str) -> str:
     from kafka_connect_plugins_spark.sources.changelog import changelog
 
-    total = EPOCH_EVENTS * max(N_EPOCHS + 1, 7)  # covers throughput + scaling phases
+    # covers the throughput epochs AND the scaling warmup + big epoch
+    total = EPOCH_EVENTS * max(N_EPOCHS + 1, SCALE_MULT + 1)
     events_path = os.path.join(tmp, "events")
     spark = _session(CPUS)
     log(f"generating {total} change events -> {events_path}")

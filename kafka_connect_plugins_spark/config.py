@@ -58,6 +58,76 @@ class ConfigDef:
         return out
 
 
+# ----------------------------------------------------------------------
+# Config-provider resolution (Kafka Connect's ${provider:path:key} syntax)
+# ----------------------------------------------------------------------
+#
+# The reference ships alongside Connect config providers (README.md:3 "plugins
+# ... that complement the built-in transformations, config providers, and
+# connectors"; the deployment Dockerfile pulls an AWS config-provider jar,
+# README.md:185-187). The public contract is Kafka's ConfigProvider interface:
+# config values may embed ``${provider:path:key}`` placeholders that the
+# worker resolves before configuring the transform chain. We implement the
+# two built-in providers that need no external service — ``env`` (EnvVar
+# ConfigProvider: ``${env::VAR}`` or ``${env:VAR}``) and ``file``
+# (FileConfigProvider: ``${file:/path.properties:key}``) — plus a hook for
+# custom providers (e.g. a secrets manager on a real cluster).
+
+import os
+import re
+
+_PLACEHOLDER = re.compile(r"\$\{([^:}]+):([^:}]*):?([^}]*)\}")
+
+
+def _env_provider(path: str, key: str) -> str:
+    name = key or path  # ${env::VAR} and ${env:VAR} both accepted
+    if name not in os.environ:
+        raise ConfigException(f"env config provider: variable {name!r} is not set")
+    return os.environ[name]
+
+
+def _file_provider(path: str, key: str) -> str:
+    try:
+        with open(path) as f:
+            lines = f.read().splitlines()
+    except OSError as exc:
+        raise ConfigException(f"file config provider: cannot read {path!r}: {exc}") from None
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith(("#", "!")):
+            continue
+        k, sep, v = line.partition("=")
+        if sep and k.strip() == key:
+            return v.strip()
+    raise ConfigException(f"file config provider: key {key!r} not found in {path!r}")
+
+
+DEFAULT_PROVIDERS = {"env": _env_provider, "file": _file_provider}
+
+
+def resolve_config_providers(
+    props: dict[str, Any], providers: dict[str, Any] | None = None
+) -> dict[str, Any]:
+    """Resolve ``${provider:path:key}`` placeholders in a flat config map.
+
+    Mirrors Connect's worker-side indirect-config resolution: applied once,
+    driver-side, before any stage is built. Unknown provider names raise
+    (matching Connect's fail-fast) — a typo must not silently configure a
+    stage with the literal placeholder.
+    """
+    table = {**DEFAULT_PROVIDERS, **(providers or {})}
+
+    def sub(m: re.Match) -> str:
+        name, path, key = m.group(1), m.group(2), m.group(3)
+        if name not in table:
+            raise ConfigException(f"Unknown config provider {name!r} in {m.group(0)!r}")
+        return str(table[name](path, key))
+
+    return {
+        k: _PLACEHOLDER.sub(sub, v) if isinstance(v, str) else v for k, v in props.items()
+    }
+
+
 def _coerce(key: ConfigKey, raw: Any) -> Any:
     if key.type is bool:
         if isinstance(raw, bool):

@@ -1,0 +1,112 @@
+"""spark-submit entrypoint for the CDC ingest engine.
+
+Cluster deployment (the north rule's run mode)::
+
+    # package the engine for the executors
+    zip -r kcp_spark.zip kafka_connect_plugins_spark
+
+    # continuous tail (or --available-now for replay/catch-up)
+    spark-submit --py-files kcp_spark.zip \\
+        -m kafka_connect_plugins_spark.main ... # or the file path
+        --events /data/changelog --table /lake/repo_content \\
+        --checkpoint /lake/_ckpt/repo_content --stream-id prod \\
+        --trigger 10s
+
+Local smoke run::
+
+    python -m kafka_connect_plugins_spark.main --demo
+
+All session tuning that matters at cluster scale is taken from the
+submit-time conf (executors, memory, AQE, shuffle partitions); this module
+only *builds* the session when run locally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str, master: str | None, shuffle_partitions: int | None) -> SparkSession:
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    b = b.config("spark.sql.adaptive.enabled", "true")
+    return b.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="PySpark CDC ingest: changelog -> lake MERGE")
+    p.add_argument("--events", help="change-event log directory (parquet)")
+    p.add_argument("--table", help="lake table root")
+    p.add_argument("--checkpoint", help="streaming checkpoint directory")
+    p.add_argument("--stream-id", default="default")
+    p.add_argument("--buckets", type=int, default=64, help="key buckets for a new table")
+    p.add_argument("--trigger", default=None, help="processingTime trigger, e.g. '10s'")
+    p.add_argument("--available-now", action="store_true", help="drain the log and stop")
+    p.add_argument("--create", action="store_true", help="create the table if missing")
+    p.add_argument("--master", default=None, help="local master override (tests only)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--metrics", default=None, help="metrics JSONL path (default <table>/_metrics)")
+    p.add_argument("--demo", action="store_true", help="self-contained local demo run")
+    args = p.parse_args(argv)
+
+    from kafka_connect_plugins_spark.engine import create_repo_table
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.streaming import MetricsLog, StreamingIngest, tail_changelog
+
+    if args.demo:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="kcp_demo_")
+        spark = build_session("kcp-demo", args.master or "local[4]", args.shuffle_partitions or 8)
+        spark.sparkContext.setLogLevel("ERROR")
+        from kafka_connect_plugins_spark.sources.changelog import changelog
+
+        changelog(spark, 10_000, num_repos=20, paths_per_repo=50).write.parquet(f"{tmp}/log")
+        args.events, args.table, args.checkpoint = f"{tmp}/log", f"{tmp}/table", f"{tmp}/ckpt"
+        args.available_now, args.create = True, True
+    else:
+        if not (args.events and args.table and args.checkpoint):
+            p.error("--events, --table and --checkpoint are required (or --demo)")
+        spark = build_session("kcp-cdc-ingest", args.master, args.shuffle_partitions)
+
+    if args.create:
+        try:
+            table = LakeTable.load(spark, args.table)
+        except FileNotFoundError:
+            table = create_repo_table(spark, args.table, num_buckets=args.buckets)
+    else:
+        table = LakeTable.load(spark, args.table)
+
+    metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
+    ingest = StreamingIngest(table, stream_id=args.stream_id, metrics=metrics)
+
+    if args.available_now:
+        stats = ingest.run_available(spark, args.events, args.checkpoint)
+        summary = {
+            "epochs": len(stats),
+            "events": sum(s.source_rows for s in stats),
+            "skipped_epochs": sum(1 for s in stats if s.skipped),
+            "final_rows": table.read().count(),
+            "high_watermarks": metrics.high_watermarks(args.stream_id),
+        }
+        print(json.dumps(summary))
+        return 0
+
+    query = ingest.start(
+        tail_changelog(spark, args.events),
+        args.checkpoint,
+        processing_time=args.trigger,
+    )
+    query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,6 +8,7 @@ from kafka_connect_plugins_spark.operators.clickhouse_flatten import ClickHouseF
 from kafka_connect_plugins_spark.operators.json_to_hex import JsonToHex
 from kafka_connect_plugins_spark.operators.lww_dedup import LwwDedup
 from kafka_connect_plugins_spark.operators.modify_partition import ModifyPartition
+from kafka_connect_plugins_spark.operators.redact import RedactFields
 from kafka_connect_plugins_spark.operators.redshift_flatten import RedshiftFlatten
 from kafka_connect_plugins_spark.operators.salted_repartition import SaltedRepartition
 from kafka_connect_plugins_spark.operators.slack_payload import SlackPayloadUnify
@@ -23,6 +24,7 @@ __all__ = [
     "JsonToHex",
     "LwwDedup",
     "ModifyPartition",
+    "RedactFields",
     "RedshiftFlatten",
     "SaltedRepartition",
     "SlackPayloadUnify",

@@ -71,7 +71,14 @@ class Pipeline:
         self.stages = list(stages)
 
     @classmethod
-    def from_connect_config(cls, props: dict[str, Any]) -> "Pipeline":
+    def from_connect_config(
+        cls, props: dict[str, Any], providers: dict[str, Any] | None = None
+    ) -> "Pipeline":
+        from kafka_connect_plugins_spark.config import resolve_config_providers
+
+        # Worker-side indirect-config resolution (${env:...}, ${file:...})
+        # happens once, before any stage parses its keys — Connect's order.
+        props = resolve_config_providers(props, providers)
         order = [s.strip() for s in str(props.get("transforms", "")).split(",") if s.strip()]
         stages: list[Stage] = []
         for alias in order:

@@ -46,10 +46,13 @@ def test_minhash_signature_properties(spark):
 
 
 def test_minhash_lsh_pairs_finds_neardups_only(spark):
+    # loose band geometry (2-row bands) so the one-token-edit pair reliably
+    # collides in this 4-doc corpus; defaults are tuned for corpus scale
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in minhash_lsh_pairs(
-            _docs(spark), "doc_id", "text", verify_threshold=0.5
+            _docs(spark), "doc_id", "text", shingle_k=5, rows_per_band=2,
+            verify_threshold=0.5,
         ).collect()
     }
     assert pairs[(0, 3)] == 1.0  # exact duplicate
