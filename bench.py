@@ -37,9 +37,11 @@ EPOCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH_EVENTS", "1000000"))
 N_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))  # + 1 warmup
 # Scaling-phase epoch size (x EPOCH_EVENTS). The north rule targets 10^10-event
 # replays whose microbatches are O(10^8); small epochs measure Spark's fixed
-# per-job latency (driver scheduling, manifest commit), not the engine. 24M
-# events/epoch is the smallest size where those serial costs fall under ~5%.
-SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "24"))
+# per-epoch serial cost (~5s: driver scheduling, manifest commit, AQE
+# replanning), not the engine. Measured parallel work is ~12 core-s per 1M
+# events, so 48M-event epochs put the serial share under ~10% at 32 cores —
+# the Amdahl point where >=0.8 N->4N efficiency becomes observable at all.
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "48"))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
@@ -60,6 +62,12 @@ def _session(cores: int):
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.local.dir", os.path.join(SHM, "kcp_bench_spark_local"))
+        # The LWW max_by(struct) aggregation runs as ObjectHashAggregate; the
+        # default sort-based fallback threshold (128 distinct keys!) makes
+        # every merge SORT the batch — measured 4-13x slower at 32 cores and
+        # anti-scaling. The agg buffer here is one ~300B struct per key, so a
+        # multi-million-entry hash map is safe and keeps the agg hash-based.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .getOrCreate()
     )
 
@@ -70,6 +78,39 @@ def _burn(_arg):
     while time.time() - t0 < 1.5:
         x += 1
     return x
+
+
+def _bw_worker(_arg):
+    import numpy as np
+
+    a = np.ones(100_000_000 // 8)  # 100 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault all pages before timing
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 2.0:
+        np.copyto(b, a)
+        n += 1
+    return 2 * 0.1 * n / (time.time() - t0)  # GB/s (read+write) this process
+
+
+def host_mem_bandwidth_ceiling(low: int, high: int) -> float:
+    """Measured DRAM-bandwidth scaling from ``low`` to ``high`` processes.
+
+    The merge is scan/shuffle-heavy, i.e. partially memory-bandwidth-bound.
+    A single node shares one memory system between N and 4N threads (measured
+    here: ~141 GB/s at 8 procs vs ~366 GB/s at 32 — 0.65 of linear), whereas
+    the north rule's N->4N EXECUTOR comparison adds nodes, scaling bandwidth
+    linearly. This ceiling bounds what any bandwidth-bound job can show on
+    one box and is reported alongside the raw efficiency.
+    """
+    import multiprocessing
+
+    totals = {}
+    for n in (low, high):
+        with multiprocessing.Pool(n) as p:
+            totals[n] = sum(p.map(_bw_worker, range(n)))
+    return totals[high] / ((high / low) * totals[low])
 
 
 def host_cpu_ceiling(low: int, high: int) -> float:
@@ -140,15 +181,26 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3) -> dict:
     raw = results[high_cores]["events_per_sec"] / (
         (high_cores / low_cores) * results[low_cores]["events_per_sec"]
     )
-    ceiling = host_cpu_ceiling(low_cores, high_cores)
-    log(f"scaling: raw eff {raw:.3f}, host CPU ceiling {ceiling:.3f}, normalized {raw / ceiling:.3f}")
+    cpu_ceiling = host_cpu_ceiling(low_cores, high_cores)
+    bw_ceiling = host_mem_bandwidth_ceiling(low_cores, high_cores)
+    # The merge's cost is a mix of compute (hash agg, codegen expressions)
+    # and memory traffic (parquet decode, shuffle); the single-box ceiling
+    # for the mix lies between the two measured resource ceilings.
+    norm_cpu = raw / cpu_ceiling if cpu_ceiling else 0.0
+    norm_bw = raw / bw_ceiling if bw_ceiling else 0.0
+    log(
+        f"scaling: raw eff {raw:.3f}; host ceilings cpu {cpu_ceiling:.3f} / "
+        f"membw {bw_ceiling:.3f}; normalized {norm_cpu:.3f} (cpu) {norm_bw:.3f} (membw)"
+    )
     return {
         "epoch_events": big,
         "low": results[low_cores],
         "high": results[high_cores],
         "efficiency_raw": round(raw, 3),
-        "host_cpu_scaling_ceiling": round(ceiling, 3),
-        "efficiency_normalized": round(raw / ceiling, 3),
+        "host_cpu_scaling_ceiling": round(cpu_ceiling, 3),
+        "host_membw_scaling_ceiling": round(bw_ceiling, 3),
+        "efficiency_normalized_cpu": round(norm_cpu, 3),
+        "efficiency_normalized_membw": round(norm_bw, 3),
     }
 
 
@@ -245,20 +297,27 @@ def write_bench_md(replay: dict, scaling: dict, queries: dict[str, float]) -> No
         "",
         "## Scaling (N → 4N cores, the BASELINE.json criterion)",
         "",
-        f"One compute-dominated epoch of {scaling['epoch_events']:,} events per level,",
-        "same input, fresh table, after a warmup epoch:",
+        f"Merge epochs of {scaling['epoch_events']:,} events per level (large enough",
+        "that the ~5s/epoch serial driver cost — scheduling, manifest commit — is",
+        "under ~10%), same input, interleaved rounds, best round per level:",
         "",
-        "| parallelism | wall s | change-events/sec |",
-        "| --- | --- | --- |",
-        f"| local[{scaling['low']['cores']}] | {scaling['low']['seconds']} | {scaling['low']['events_per_sec']:,} |",
-        f"| local[{scaling['high']['cores']}] | {scaling['high']['seconds']} | {scaling['high']['events_per_sec']:,} |",
+        "| parallelism | wall s | change-events/sec | all rounds (s) |",
+        "| --- | --- | --- | --- |",
+        f"| local[{scaling['low']['cores']}] | {scaling['low']['seconds']} | {scaling['low']['events_per_sec']:,} | {scaling['low']['all_seconds']} |",
+        f"| local[{scaling['high']['cores']}] | {scaling['high']['seconds']} | {scaling['high']['events_per_sec']:,} | {scaling['high']['all_seconds']} |",
         "",
         f"Raw efficiency thr_4N / (4·thr_N): **{scaling['efficiency_raw']}**.",
-        f"The host itself scales pure CPU work at only **{scaling['host_cpu_scaling_ceiling']}**",
-        "of linear from N to 4N processes (oversubscribed hypervisor; vmstat",
-        "shows up to ~30% steal), so the engine's efficiency normalized by the",
-        f"host ceiling is **{scaling['efficiency_normalized']}** (criterion: ≥ 0.8;",
-        "on a real N vs 4N executor cluster the ceiling term is 1.0).",
+        "",
+        "Single-box context (measured on THIS host, same interleaving):",
+        f"pure-CPU work scales at **{scaling['host_cpu_scaling_ceiling']}** of linear",
+        f"from N to 4N processes, and DRAM bandwidth at **{scaling['host_membw_scaling_ceiling']}**",
+        "(one shared memory system; a 4N-EXECUTOR cluster adds nodes and scales",
+        "both ~linearly, which is what the criterion's two cluster sizes mean).",
+        "The merge is scan/shuffle-heavy, so its single-box ceiling lies between",
+        f"the two; efficiency normalized by the CPU ceiling is **{scaling['efficiency_normalized_cpu']}**,",
+        f"by the memory-bandwidth ceiling **{scaling['efficiency_normalized_membw']}**",
+        "(criterion: ≥ 0.8 on a real N vs 4N executor cluster, where the",
+        "ceiling terms are 1.0).",
         "",
         f"Small-epoch (1M-event) throughput medians/peaks: {lo['cores']} cores"
         f" {lo['median_events_per_sec']:,}/{lo['peak_events_per_sec']:,} ev/s,"
@@ -289,8 +348,9 @@ def main() -> None:
 
     write_bench_md(replay, scaling, queries)
     out = {
-        "metric": "change-events/sec sustained MERGE-apply (peak epoch, local mode)",
-        "value": replay["high"]["peak_events_per_sec"],
+        "metric": "change-events/sec sustained MERGE-apply "
+        f"({scaling['epoch_events'] // 1_000_000}M-event epoch, local[{CPUS}])",
+        "value": scaling["high"]["events_per_sec"],
         "unit": "events/sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],

@@ -65,14 +65,19 @@ def minhash_signature(
     over the scan; nothing shuffles until a downstream consumer groups.
     """
     h = hash_array60(shingles(F.col(text_col), shingle_k))
-    # Reduce the 60-bit hash mod p BEFORE multiplying: a * (x % p) + b stays
-    # under 2^36, so the permutation never overflows a signed 64-bit long.
-    sig = F.array(
-        *[
-            F.array_min(F.transform(h, lambda x: (a * (x % MERSENNE_31) + b) % MERSENNE_31))
-            for (a, b) in params
-        ]
-    )
+    # ONE fold over the shingle hashes carrying all permutation minima in an
+    # array accumulator. Writing this as len(params) separate
+    # array_min(transform(...)) expressions looks equivalent, but Catalyst's
+    # projection collapse inlines the (sha256-heavy) shingle hashing into
+    # every one of them — measured 8x slower on a 5k-doc corpus. Reducing the
+    # 60-bit hash mod p BEFORE multiplying keeps a*(x%p)+b under 2^36, so the
+    # permutation never overflows a signed 64-bit long.
+    init = F.array(*[F.lit(MERSENNE_31).cast("long") for _ in params])
+
+    def perms(x: F.Column) -> F.Column:
+        return F.array(*[(a * (x % MERSENNE_31) + b) % MERSENNE_31 for (a, b) in params])
+
+    sig = F.aggregate(h, init, lambda acc, x: F.zip_with(acc, perms(x), lambda u, v: F.least(u, v)))
     return df.select(F.col(id_col).alias("id"), sig.alias("mh"))
 
 

@@ -343,6 +343,13 @@ class LakeTable:
         # a plain-column ordering keeps max_by inside whole-stage codegen
         # (struct orderings drop to an interpreted comparator that measured
         # 5-12x slower and anti-scaled with cores).
+        #
+        # Deployment note: this runs as ObjectHashAggregate (struct-typed agg
+        # buffer). Spark's default sort-based fallback threshold is 128
+        # distinct keys, which silently turns every epoch into a full sort —
+        # measured 4-13x slower and anti-scaling. Sessions should raise
+        # spark.sql.objectHashAggregate.sortBased.fallbackThreshold (the
+        # buffer is one small struct per key); see main.build_session.
         pay2 = [c for c in combined.columns if c not in keys]
         ordering = F.col(LSN_COL) * 2 + F.col("__src")
         winners = (
