@@ -343,20 +343,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 permutations) over 5-char shingles."""
-    docs = _t(spark, sf_dir, "documents")
+    """MinHash signatures (8 permutations) over 5-char shingles.
+
+    One fold over the (sha2-expensive) shingle hashes carries all eight
+    permutation minima in an array accumulator; the round-robin exchange in
+    ``spread`` doubles as a CollapseProject barrier so unpacking mh0..mh7
+    cannot re-inline the hashing into every output column."""
+    from kafka_connect_plugins_spark.plans.parallelism import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     hashes = F.expr(
         "transform(transform(sequence(1, greatest(length(text) - 4, 1)),"
         " i -> substring(text, i, 5)),"
         " s -> cast(conv(substring(sha2(s, 256), 1, 8), 16, 10) as bigint))"
     )
-    out = docs.select(F.col("doc_id"), hashes.alias("__h"))
-    for i, (a, b) in enumerate(_MINHASH_PARAMS):
-        out = out.withColumn(
-            f"mh{i}",
-            F.expr(f"array_min(transform(__h, h -> ({a} * h + {b}) % {_MERSENNE}))"),
-        )
-    return out.drop("__h")
+    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in _MINHASH_PARAMS])
+    perms = lambda x: F.array(  # noqa: E731
+        *[(a * x + b) % _MERSENNE for (a, b) in _MINHASH_PARAMS]
+    )
+    sig = F.aggregate(
+        hashes, init, lambda acc, x: F.zip_with(acc, perms(x), lambda u, v: F.least(u, v))
+    )
+    base = docs.select(F.col("doc_id"), sig.alias("__mh")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return base.select(
+        "doc_id", *[F.col("__mh")[i].alias(f"mh{i}") for i in range(len(_MINHASH_PARAMS))]
+    )
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +467,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash signature per document."""
-    docs = _t(spark, sf_dir, "documents")
+    from kafka_connect_plugins_spark.plans.parallelism import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", neardup.simhash(F.col("text")).alias("simhash"))
 
 
@@ -477,7 +492,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (threshold matched to
     the synthetic embeddings, whose top within-label cosine is ~0.45)."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    from kafka_connect_plugins_spark.plans.parallelism import spread
+
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     l, r = e.alias("l"), e.alias("r")
@@ -834,11 +851,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             WITH h AS (
               SELECT doc_id,
-                     list_transform({_LSH_SHINGLES_SQL}, s -> {_h60_sql('s')}) AS hs,
-                     list_distinct({_LSH_SHINGLES_SQL}) AS sh
+                     list_distinct(list_transform({_LSH_SHINGLES_SQL}, s -> {_h60_sql('s')})) AS hs
               FROM documents),
             sig AS (
-              SELECT doc_id, sh,
+              SELECT doc_id, hs,
                      [{", ".join(
                          f"list_min(list_transform(hs, x -> ({a} * (x % {_MERSENNE31}) + {b}) % {_MERSENNE31}))"
                          for (a, b) in _MINHASH_PARAMS
@@ -856,8 +872,8 @@ def oracle_sql() -> dict[str, str]:
                 ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
             v AS (
               SELECT id_a, id_b,
-                     len(list_intersect(a.sh, b.sh))::DOUBLE
-                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                     len(list_intersect(a.hs, b.hs))::DOUBLE
+                       / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
               FROM cand JOIN h a ON a.doc_id = id_a JOIN h b ON b.doc_id = id_b)
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5
         """,

@@ -96,8 +96,12 @@ def media_features(media: DataFrame) -> DataFrame:
 
     Each batch is a pandas DataFrame of whole columns; per-element work
     (hashing) runs inside the batch without crossing the JVM boundary again.
-    Map-only: partitioning of the media table is preserved, no shuffle.
+    Map-only at scale; narrow inputs are spread first so the Python workers
+    all participate (see plans/parallelism.py).
     """
+    from kafka_connect_plugins_spark.plans.parallelism import spread
+
+    media = spread(media)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

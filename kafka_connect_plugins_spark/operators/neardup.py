@@ -30,6 +30,7 @@ from kafka_connect_plugins_spark.functions.text import (
     shingles,
     ws_tokens,
 )
+from kafka_connect_plugins_spark.plans.parallelism import spread
 
 # Default universal-hash permutations (a, b) for minhash: h_i = (a*h + b) % p.
 MINHASH_PARAMS = [
@@ -64,6 +65,7 @@ def minhash_signature(
     Map-only: shingle set and all permutations evaluate in a single projection
     over the scan; nothing shuffles until a downstream consumer groups.
     """
+    df = spread(df)
     h = hash_array60(shingles(F.col(text_col), shingle_k))
     # ONE fold over the shingle hashes carrying all permutation minima in an
     # array accumulator. Writing this as len(params) separate
@@ -104,10 +106,36 @@ def minhash_lsh_pairs(
     5k-doc corpus (1.5M candidates). The defaults (k=7, rows=4 → collision
     prob = sim^4 per band) keep buckets discriminative; production corpora
     can widen bands again via ``rows_per_band``.
+
+    The hashed distinct shingle set is the single expensive projection
+    (sha2 per shingle), so it is computed ONCE behind a hash-repartition on
+    id: Catalyst's ReuseExchange dedupes that exchange across all four
+    consumers (both band sides, both verify sides), and the verify joins on
+    id need no further shuffle of the shingle sets. Jaccard is verified on
+    the 60-bit hashed shingles — identical to string-shingle Jaccard up to
+    sha2 collisions, at an eighth of the shuffle bytes.
     """
     n_bands = len(params) // rows_per_band
-    sigs = minhash_signature(df, id_col, text_col, shingle_k, params)
-    bands = sigs.select(
+    par = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+    base = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+        .select(
+            "id",
+            F.array_distinct(hash_array60(shingles(F.col("__text"), shingle_k))).alias("hs"),
+        )
+        .repartition(par, F.col("id"))  # ReuseExchange point: hashing runs once
+    )
+    # Signature from the DISTINCT shingle hashes — min over a set equals min
+    # over the multiset, so the geometry is unchanged.
+    init = F.array(*[F.lit(MERSENNE_31).cast("long") for _ in params])
+
+    def perms(x: F.Column) -> F.Column:
+        return F.array(*[(a * (x % MERSENNE_31) + b) % MERSENNE_31 for (a, b) in params])
+
+    sig = F.aggregate(
+        F.col("hs"), init, lambda acc, x: F.zip_with(acc, perms(x), lambda u, v: F.least(u, v))
+    )
+    bands = base.select("id", sig.alias("mh")).select(
         "id",
         F.explode(
             F.array(
@@ -144,17 +172,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
     verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            / F.size(F.array_union("hs_a", "hs_b")).cast("double"),
         )
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -219,7 +243,12 @@ def simhash_pairs(
     """
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sim"))
+    # The self-join shuffles both (identical) chunk subplans on (chunk, val);
+    # ReuseExchange computes them once, so the simhash projection below the
+    # exchange runs a single time — spread first so it runs wide.
+    sh = spread(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sim")
+    )
     chunks = sh.select(
         "id",
         "sim",
@@ -268,26 +297,50 @@ def ngram_jaccard_pairs(
     The honest quadratic baseline, bounded by blocking (pairs only within
     ``block_col`` groups) — the verifier against which the LSH variants are
     judged. At scale the block key bounds the join fan-out.
+
+    Plan shape: candidate pairs come from a cheap (id, blk)-only self-join —
+    scoring a pair only ever happens once, after the ``id_a < id_b`` cut.
+    (Scoring inside the blk-join's condition looks equivalent but Catalyst
+    ANDs the pushed Jaccard predicate *in front of* the cheap id check, so
+    the n_b²-ordered-pair loop pays an array intersect per probe — measured
+    ~3x slower.) Union size comes from per-doc sizes (|A∪B| = |A|+|B|−|A∩B|),
+    so each pair costs one intersect, not intersect + union.
     """
-    toks = ws_tokens(F.col(text_col))
+    toks = ws_tokens(F.col("__text"))
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
-    g = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"), grams.alias("g"))
-    l, r = g.alias("l"), g.alias("r")
-    return (
-        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            (
-                F.size(F.array_intersect("l.g", "r.g"))
-                / F.size(F.array_union("l.g", "r.g")).cast("double")
-            ).alias("jaccard"),
+    par = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+    g = (
+        spread(df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+                         F.col(text_col).alias("__text")))
+        .select("id", "blk", grams.alias("g"))
+        .repartition(par, F.col("id"))  # ReuseExchange point: grams run once
+    )
+    ids = g.select("id", "blk")
+    cand = (
+        ids.alias("l")
+        .join(ids.alias("r"),
+              (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    scored = (
+        cand.join(
+            g.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"),
+                     F.size("g").alias("n_a")),
+            "id_a",
         )
+        .join(
+            g.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"),
+                     F.size("g").alias("n_b")),
+            "id_b",
+        )
+        .withColumn("n_i", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("jaccard", F.col("n_i") / (F.col("n_a") + F.col("n_b") - F.col("n_i")).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return scored

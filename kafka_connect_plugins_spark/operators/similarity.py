@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connect_plugins_spark.plans.parallelism import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -56,7 +58,7 @@ def brute_force_topk(
     each task scores its candidate partition against the broadcast queries;
     the final per-query top-k is the single (tiny) shuffle.
     """
-    sims = candidates.crossJoin(F.broadcast(queries)).withColumn(
+    sims = spread(candidates).crossJoin(F.broadcast(queries)).withColumn(
         "sim", cosine(F.col(query_vec), F.col(cand_vec))
     )
     from pyspark.sql import Window
@@ -125,7 +127,7 @@ def lsh_topk(
     both sides on the bucket key once; bucket skew is bounded by 2^n_planes.
     """
     qb = queries.withColumn("__bucket", rhp_bucket(F.col(query_vec), n_planes, dim))
-    cb = candidates.withColumn("__bucket", rhp_bucket(F.col(cand_vec), n_planes, dim))
+    cb = spread(candidates).withColumn("__bucket", rhp_bucket(F.col(cand_vec), n_planes, dim))
     sims = qb.join(cb, "__bucket").withColumn("sim", cosine(F.col(query_vec), F.col(cand_vec)))
     from pyspark.sql import Window
 
@@ -184,7 +186,7 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search (n_probe=1): exact cosine within the query's posting list."""
     qa = ivf_assign(queries, centroids, query_vec)
-    ca = ivf_assign(candidates, centroids, cand_vec)
+    ca = ivf_assign(spread(candidates), centroids, cand_vec)
     sims = qa.join(ca, "list_id").withColumn(
         "sim", cosine(F.col(query_vec), F.col(cand_vec))
     )

@@ -1,0 +1,29 @@
+"""Plan-time parallelism guard for compute-heavy map stages.
+
+A parquet scan partitions by bytes (``spark.sql.files.maxPartitionBytes``),
+which is right when cost ∝ bytes. The heavy per-row operators here (sha2
+shingling, simhash bit-majority, cosine math, Arrow-batched feature UDFs)
+cost orders of magnitude more CPU per byte than a scan, so a small file —
+one row group, one task — serializes the whole job. ``spread`` widens such
+inputs to the session's default parallelism *only when the scan is narrower
+than that*; at production scale (thousands of input splits) the condition is
+false and no shuffle is added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to ``min_partitions`` (default: the session's
+    ``defaultParallelism``) iff its current plan yields fewer partitions.
+
+    The check happens once at plan time on the driver; the repartition is a
+    round-robin exchange of the (small, by precondition) input — cents of
+    shuffle to unlock full-cluster compute on the stages above it.
+    """
+    target = int(min_partitions or df.sparkSession.sparkContext.defaultParallelism)
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
