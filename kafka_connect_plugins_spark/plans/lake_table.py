@@ -294,29 +294,45 @@ class LakeTable:
             BUCKET_COL, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
         )
 
-        # Dirty-bucket probe: a per-bucket count is a near-free aggregation
-        # (map-side partial count over <= num_buckets groups, bytes on the
-        # wire) and yields the event count for the throughput metrics too.
-        # With lineage_col it also carries the per-source-partition event
-        # count and LSN high-watermark — the CDC log-position lineage —
-        # in the SAME pass (group count <= num_buckets x num_partitions).
+        # Lineage / row-count probe. This pass touches ONLY (lineage, lsn) —
+        # Parquet column pruning means it never decodes keys or payload (the
+        # content column dominates the batch's bytes), so it costs a small
+        # fraction of the merge scan. Grouping is per source partition
+        # (<= a few hundred groups): event count + LSN high-watermark, the
+        # CDC log-position record.
         lineage: dict[int, dict[str, int]] = {}
         if lineage_col is not None:
             probe = (
-                src.groupBy(BUCKET_COL, lineage_col)
+                src.groupBy(lineage_col)
                 .agg(F.count(F.lit(1)).alias("count"), F.max(LSN_COL).alias("max_lsn"))
                 .collect()
             )
             for r in probe:
-                p = r[lineage_col]
-                slot = lineage.setdefault(p, {"events": 0, "max_lsn": -(1 << 62)})
-                slot["events"] += int(r["count"])
-                slot["max_lsn"] = max(slot["max_lsn"], int(r["max_lsn"]))
+                lineage[r[lineage_col]] = {
+                    "events": int(r["count"]),
+                    "max_lsn": int(r["max_lsn"]),
+                }
+            src_rows = int(sum(r["count"] for r in probe))
             src = src.drop(lineage_col)
         else:
-            probe = src.groupBy(BUCKET_COL).count().collect()
-        dirty = sorted({int(r[BUCKET_COL]) for r in probe})
-        src_rows = int(sum(r["count"] for r in probe))
+            src_rows = int(src.count())
+
+        # Collapse the source to its per-key LWW winners ONCE and cache the
+        # (tiny: <= one row per touched key) result; the dirty-bucket set,
+        # the union with the target, and the final write all read the cache
+        # instead of re-scanning + re-aggregating the full event batch. This
+        # is the single heavy job of the merge: scan + map-side partial
+        # max_by + one key-hash shuffle.
+        pay_src = [c for c in src.columns if c not in keys]
+        src_winners = (
+            src.groupBy(*keys)
+            .agg(F.max_by(F.struct(*pay_src), F.col(LSN_COL)).alias("__w"))
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay_src])
+            .persist()
+        )
+        dirty = sorted(
+            int(r[BUCKET_COL]) for r in src_winners.select(BUCKET_COL).distinct().collect()
+        )
 
         target = self._read_buckets(manifest, dirty)
         if target is not None:
@@ -330,26 +346,26 @@ class LakeTable:
             if TOMBSTONE_COL not in target.columns:
                 target = target.withColumn(TOMBSTONE_COL, F.lit(False))
             target = target.withColumn("__src", F.lit(0))
-            combined = src.withColumn("__src", F.lit(1)).unionByName(
+            combined = src_winners.withColumn("__src", F.lit(1)).unionByName(
                 target, allowMissingColumns=True
             )
         else:
-            combined = src.withColumn("__src", F.lit(1))
+            combined = src_winners.withColumn("__src", F.lit(1))
 
-        # Single LWW aggregation over source events ∪ dirty target rows: the
-        # map-side partial phase collapses per-key update storms before the
-        # one key-hash shuffle in the plan. Source wins equal-LSN ties
-        # (idempotence), encoded by packing (lsn, src) into one long —
-        # a plain-column ordering keeps max_by inside whole-stage codegen
-        # (struct orderings drop to an interpreted comparator that measured
-        # 5-12x slower and anti-scaled with cores).
+        # Final LWW aggregation over collapsed source winners ∪ dirty target
+        # rows — both sides are at most one row per key, so this is a small
+        # job. Source wins equal-LSN ties (idempotence), encoded by packing
+        # (lsn, src) into one long — a plain-column ordering keeps max_by
+        # inside whole-stage codegen (struct orderings drop to an interpreted
+        # comparator that measured 5-12x slower and anti-scaled with cores).
         #
-        # Deployment note: this runs as ObjectHashAggregate (struct-typed agg
-        # buffer). Spark's default sort-based fallback threshold is 128
-        # distinct keys, which silently turns every epoch into a full sort —
-        # measured 4-13x slower and anti-scaling. Sessions should raise
-        # spark.sql.objectHashAggregate.sortBased.fallbackThreshold (the
-        # buffer is one small struct per key); see main.build_session.
+        # Deployment note: both max_by aggs run as ObjectHashAggregate
+        # (struct-typed agg buffer). Spark's default sort-based fallback
+        # threshold is 128 distinct keys, which silently turns every epoch
+        # into a full sort — measured 4-13x slower and anti-scaling. Sessions
+        # should raise spark.sql.objectHashAggregate.sortBased.
+        # fallbackThreshold (the buffer is one small struct per key); see
+        # main.build_session.
         pay2 = [c for c in combined.columns if c not in keys]
         ordering = F.col(LSN_COL) * 2 + F.col("__src")
         winners = (
@@ -369,6 +385,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        src_winners.unpersist()
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
