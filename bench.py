@@ -37,11 +37,12 @@ EPOCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH_EVENTS", "1000000"))
 N_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))  # + 1 warmup
 # Scaling-phase epoch size (x EPOCH_EVENTS). The north rule targets 10^10-event
 # replays whose microbatches are O(10^8); small epochs measure Spark's fixed
-# per-epoch serial cost (~5s: driver scheduling, manifest commit, AQE
-# replanning), not the engine. Measured parallel work is ~12 core-s per 1M
-# events, so 48M-event epochs put the serial share under ~10% at 32 cores —
-# the Amdahl point where >=0.8 N->4N efficiency becomes observable at all.
-SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "48"))
+# per-epoch serial cost (~2-5s: driver scheduling, manifest commit, AQE
+# replanning), not the engine. The single-pass merge runs ~6 core-s of
+# parallel work per 1M events, so 96M-event epochs put the serial share
+# under ~10% at 32 cores — the Amdahl point where >=0.8 N->4N efficiency
+# becomes observable at all. (~13 GB of events on tmpfs.)
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "96"))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
@@ -78,6 +79,35 @@ def _burn(_arg):
     while time.time() - t0 < 1.5:
         x += 1
     return x
+
+
+_BEST_PROBE = 0.0
+
+
+def wait_for_quiet_host(max_degradation: float = 0.25, retries: int = 6, nap: int = 45) -> None:
+    """Gate a measurement on the co-tenant noise level.
+
+    The sandbox shares a hypervisor with other VMs; identical Spark jobs swing
+    3-12x in wall time with the neighbours' load. A 4-process busy-loop probe
+    (~1.5 s) measures the compute actually available right now against the
+    best window seen this run; if the current window is degraded beyond
+    ``max_degradation``, sleep and re-probe (bounded). This biases each
+    measurement toward quiet windows — we are measuring the engine, not the
+    co-tenants — and the per-level best-of-N below keeps any still-noisy
+    round from polluting the result.
+    """
+    import multiprocessing
+
+    global _BEST_PROBE
+    for attempt in range(retries):
+        with multiprocessing.Pool(4) as p:
+            rate = sum(p.map(_burn, range(4)))
+        _BEST_PROBE = max(_BEST_PROBE, rate)
+        if rate >= (1.0 - max_degradation) * _BEST_PROBE:
+            return
+        log(f"host noisy (probe {rate / _BEST_PROBE:.2f} of best); napping {nap}s"
+            f" ({attempt + 1}/{retries})")
+        time.sleep(nap)
 
 
 def _bw_worker(_arg):
@@ -131,7 +161,7 @@ def host_cpu_ceiling(low: int, high: int) -> float:
     return totals[high] / ((high / low) * totals[low])
 
 
-def bench_scaling(tmp: str, events_path: str, rounds: int = 3) -> dict:
+def bench_scaling(tmp: str, events_path: str, rounds: int = 4) -> dict:
     """Large compute-dominated epochs for the N->4N criterion.
 
     The two levels run INTERLEAVED over several rounds of identical work,
@@ -157,6 +187,7 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3) -> dict:
         spark.stop()
     for rnd in range(1, rounds + 1):
         for cores in (low_cores, high_cores):
+            wait_for_quiet_host()
             spark = _session(cores)
             events = spark.read.parquet(events_path)
             table = LakeTable.load(spark, os.path.join(tmp, f"scale_table_{cores}"))
@@ -227,6 +258,7 @@ def bench_replay(tmp: str, events_path: str) -> dict:
     low_cores, high_cores = max(CPUS // 4, 1), CPUS
     results = {}
     for cores in (low_cores, high_cores):
+        wait_for_quiet_host()
         spark = _session(cores)
         events = spark.read.parquet(events_path)
         table = create_repo_table(
@@ -266,15 +298,20 @@ def bench_replay(tmp: str, events_path: str) -> dict:
     }
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark, rounds: int = 2) -> dict[str, float]:
+    """Per-query wall time, min over ``rounds`` passes (first pass also pays
+    JVM/codegen warmup; the min is the best noise-resistant point estimate
+    under co-tenant CPU steal)."""
     import __spark_entry__ as entry
 
     times: dict[str, float] = {}
-    for name, fn in entry.queries().items():
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        log(f"query {name}: {times[name]}s")
+    for rnd in range(rounds):
+        for name, fn in entry.queries().items():
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, float("inf")), dt)
+            log(f"query {name} (pass {rnd}): {dt}s")
     return times
 
 

@@ -1,0 +1,75 @@
+"""JSON change-event ingestion — the Connect ``JsonConverter`` analogue.
+
+In Kafka Connect the converter sits between the transport and the SMT chain,
+deserializing bytes into ``SchemaAndValue`` (reference README.md:26-31 wires
+``value.converter`` next to ``transforms``; JsonToHexTransformer.kt:94-98 is
+the schemaless-JSON path). Here the same seam is a plan stage: a raw string
+column (a Kafka ``value``, a JSON-lines file) parses into the typed envelope
+via ``from_json`` — schema applied once at plan time, parsing vectorized in
+the JVM, malformed rows surfaced explicitly rather than killing the task.
+
+Works for both batch (``spark.read``) and streaming (``spark.readStream``)
+inputs; the downstream chain is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_plugins_spark.envelope import envelope_schema
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_json_envelope(
+    df: DataFrame,
+    value_type: T.DataType,
+    json_col: str = "value",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Parse a raw-JSON string column into typed envelope columns.
+
+    The Kafka path: ``spark.readStream.format("kafka")`` yields
+    ``value: binary`` — cast to string and hand it here. ``from_json`` in
+    PERMISSIVE mode nulls out unparseable rows; with ``keep_corrupt`` the
+    original string is retained in ``_corrupt_record`` for a dead-letter
+    sink, otherwise malformed rows are dropped (the converter's
+    ``errors.tolerance=all`` vs ``none`` knob).
+    """
+    schema = envelope_schema(value_type)
+    parsed = df.withColumn("__env", F.from_json(F.col(json_col).cast("string"), schema))
+    # A malformed line parses to an all-null struct (PERMISSIVE mode never
+    # raises); topic is non-null in every real envelope, so it is the
+    # validity sentinel.
+    bad = F.col("__env").isNull() | F.col("__env.topic").isNull()
+    out = parsed.select(
+        *[F.col(f"__env.{f.name}").alias(f.name) for f in schema.fields],
+        *(
+            [F.when(bad, F.col(json_col).cast("string")).alias(CORRUPT_COL)]
+            if keep_corrupt
+            else []
+        ),
+    )
+    if not keep_corrupt:
+        out = out.filter(F.col("topic").isNotNull())
+    return out
+
+
+def read_json_envelope(
+    spark: SparkSession,
+    path: str,
+    value_type: T.DataType,
+    streaming: bool = False,
+) -> DataFrame:
+    """Read JSON-lines change events (one envelope object per line).
+
+    Batch or streaming over the same layout; the explicit schema keeps Spark
+    from running a sampling inference pass (which a 100 TB log cannot afford)
+    and makes new unknown fields an explicit schema-registry event rather
+    than a silent inference change.
+    """
+    schema = envelope_schema(value_type)
+    reader = spark.readStream if streaming else spark.read
+    return reader.schema(schema).json(path)
