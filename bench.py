@@ -84,28 +84,45 @@ def _burn(_arg):
 _BEST_PROBE = 0.0
 
 
-def wait_for_quiet_host(max_degradation: float = 0.25, retries: int = 6, nap: int = 45) -> None:
+def _bw_probe(_arg):
+    import numpy as np
+
+    a = np.ones(50_000_000 // 8)  # 50 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.0:
+        np.copyto(b, a)
+        n += 1
+    return 2 * 0.05 * n / (time.time() - t0)  # GB/s this process
+
+
+def wait_for_quiet_host(max_degradation: float = 0.25, retries: int = 8, nap: int = 45) -> None:
     """Gate a measurement on the co-tenant noise level.
 
-    The sandbox shares a hypervisor with other VMs; identical Spark jobs swing
-    3-12x in wall time with the neighbours' load. A 4-process busy-loop probe
-    (~1.5 s) measures the compute actually available right now against the
-    best window seen this run; if the current window is degraded beyond
-    ``max_degradation``, sleep and re-probe (bounded). This biases each
-    measurement toward quiet windows — we are measuring the engine, not the
-    co-tenants — and the per-level best-of-N below keeps any still-noisy
-    round from polluting the result.
+    The sandbox shares a hypervisor with other VMs; identical Spark jobs
+    swing 3-12x in wall time with the neighbours' load, and the merge is
+    scan/shuffle-heavy, i.e. bound by DRAM bandwidth — measured windows where
+    8 processes already achieve the full 32-process aggregate bandwidth
+    (ceiling 0.4), in which NO workload can show N->4N scaling. So the probe
+    measures memory bandwidth (4-process memcpy, ~1 s), not CPU: if the
+    current window is degraded beyond ``max_degradation`` of the best window
+    seen this run, sleep and re-probe (bounded). This biases each measurement
+    toward quiet windows — we are measuring the engine, not the co-tenants —
+    and the per-level best-of-N keeps any still-noisy round from polluting
+    the result.
     """
     import multiprocessing
 
     global _BEST_PROBE
     for attempt in range(retries):
         with multiprocessing.Pool(4) as p:
-            rate = sum(p.map(_burn, range(4)))
+            rate = sum(p.map(_bw_probe, range(4)))
         _BEST_PROBE = max(_BEST_PROBE, rate)
         if rate >= (1.0 - max_degradation) * _BEST_PROBE:
             return
-        log(f"host noisy (probe {rate / _BEST_PROBE:.2f} of best); napping {nap}s"
+        log(f"host noisy (membw probe {rate / _BEST_PROBE:.2f} of best); napping {nap}s"
             f" ({attempt + 1}/{retries})")
         time.sleep(nap)
 
