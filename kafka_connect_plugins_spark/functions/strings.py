@@ -14,9 +14,14 @@ def unquote_both_ends(col: Column) -> Column:
     is at least 2 chars long; a single leading or trailing quote is preserved
     (UnquoteRecordKeyTest.kt:66-98). A naive ``regexp_replace('^"|"$', '')``
     would wrongly strip lone quotes, so this is expressed as a guarded
-    substring.
+    substring. ``startswith``/``endswith`` (UTF8String prefix checks) replace
+    the equivalent ``rlike`` — this runs per record on the CDC hot path and
+    a JVM regex Matcher showed up at ~16% of epoch CPU in thread-dump
+    profiles.
     """
-    is_surrounded = col.rlike('^".*"$') & (F.length(col) >= 2)
+    is_surrounded = (
+        (F.length(col) >= 2) & col.startswith('"') & col.endswith('"')
+    )
     stripped = col.substr(F.lit(2), F.length(col) - 2)
     return F.when(is_surrounded, stripped).otherwise(col)
 

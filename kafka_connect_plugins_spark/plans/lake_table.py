@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -165,22 +166,25 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p, allowMissingColumns=True)
-        # Back-fill columns added after these files were written.
-        schema = self._table_schema(self.manifest())
+        # Back-fill columns added (to THIS manifest's schema) after these
+        # files were written — time-travel reads see their snapshot's schema.
+        schema = self._table_schema(manifest)
         if schema is not None:
             for f_ in schema.fields:
                 if f_.name not in df.columns:
                     df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
         return df
 
-    def read(self) -> DataFrame:
-        """Current snapshot (table-schema columns: keys, payload, ``_lsn``).
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (table-schema columns: keys, payload, ``_lsn``).
 
-        Delete markers (retained so that a late-arriving lower-LSN insert can
-        never resurrect a deleted key — see :meth:`merge`) are filtered here;
-        they are physically dropped by :meth:`purge_tombstones`.
+        ``version`` time-travels to an earlier snapshot (Iceberg
+        ``VERSION AS OF``); default is the current one. Delete markers
+        (retained so that a late-arriving lower-LSN insert can never
+        resurrect a deleted key — see :meth:`merge`) are filtered here; they
+        are physically dropped by :meth:`purge_tombstones`.
         """
-        manifest = self.manifest()
+        manifest = self.manifest(version)
         df = self._read_buckets(manifest, None)
         schema = self._table_schema(manifest)
         if df is None:
@@ -248,6 +252,9 @@ class LakeTable:
                 df = self.spark.createDataFrame([], internal)
             if TOMBSTONE_COL not in df.columns:
                 df = df.withColumn(TOMBSTONE_COL, F.lit(False))
+            for f_ in internal.fields:  # columns added after this snapshot
+                if f_.name not in df.columns:
+                    df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
             return df.select(
                 *[F.col(k).alias(f"{tag}_{k}") for k in keys],
                 *[
@@ -351,9 +358,13 @@ class LakeTable:
 
         ``source`` carries the user columns plus an LSN column; rows need not
         be pre-deduplicated (an in-batch LWW collapse runs first). On equal
-        LSN the source row wins — replaying an already-applied event is
-        therefore idempotent (the content is identical by determinism of the
-        log).
+        LSN the source row wins over the stored row — replaying an
+        already-applied event is therefore idempotent (the content is
+        identical by determinism of the log). Two *distinct* source events
+        sharing an LSN for the same key have no defined winner: the LSN must
+        be a total order per key (a global offset, or pack
+        ``(partition_epoch << k) | offset`` for multi-partition logs before
+        calling merge).
         """
         t0 = time.time()
         manifest = self.manifest()
@@ -522,6 +533,46 @@ class LakeTable:
     # ------------------------------------------------------------------
     # retention
     # ------------------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Garbage-collect data versions unreachable from the newest
+        ``keep_last`` snapshots (Iceberg ``expire_snapshots`` analogue).
+
+        Each merge writes dirty buckets into a fresh ``data/v{N}`` dir while
+        clean buckets keep referencing older dirs, so storage grows with
+        UPDATE churn until expiry. A data dir is deleted only when no
+        retained manifest references it; retained = the newest ``keep_last``
+        manifests (older manifest files are removed too, ending their
+        time-travel window). Returns ``{"data_versions_removed": …,
+        "manifests_removed": …}``.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        current = int(self.manifest()["version"])
+        manifest_dir = os.path.join(self.root, "manifests")
+        versions = sorted(
+            int(name[1:-5])
+            for name in os.listdir(manifest_dir)
+            if name.startswith("v") and name.endswith(".json")
+        )
+        retained = [v for v in versions if v > current - keep_last]
+        live_data: set[int] = set()
+        for v in retained:
+            live_data.update(int(dv) for dv in self.manifest(v)["buckets"].values())
+        data_dir = os.path.join(self.root, "data")
+        removed_data = 0
+        for name in sorted(os.listdir(data_dir)):
+            if not name.startswith("v"):
+                continue
+            if int(name[1:]) not in live_data:
+                shutil.rmtree(os.path.join(data_dir, name))
+                removed_data += 1
+        removed_manifests = 0
+        for v in versions:
+            if v not in retained:
+                os.remove(os.path.join(manifest_dir, f"v{v}.json"))
+                removed_manifests += 1
+        return {"data_versions_removed": removed_data, "manifests_removed": removed_manifests}
+
     def purge_tombstones(self, below_lsn: int) -> int:
         """Physically drop delete markers with ``_lsn < below_lsn``.
 
