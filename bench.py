@@ -96,6 +96,10 @@ def _session_executors(n_exec: int, cores_per: int = 8, mem_mb: int = 10240):
             n_exec * cores_per,
         )
         .config("spark.driver.memory", "8g")
+        # local-cluster's third number is the WORKER's capacity; executors
+        # still launch with the 1g default heap unless set — the merge's
+        # partial-agg map OOMs there.
+        .config("spark.executor.memory", f"{mem_mb - 1024}m")
         .getOrCreate()
     )
 
