@@ -100,6 +100,15 @@ def _session_executors(n_exec: int, cores_per: int = 8, mem_mb: int = 10240):
         # still launch with the 1g default heap unless set — the merge's
         # partial-agg map OOMs there.
         .config("spark.executor.memory", f"{mem_mb - 1024}m")
+        # Each forked JVM sizes its GC/JIT thread pools for ALL host cores;
+        # 4 executors + driver = 5 JVMs × ~23 service threads oversubscribes
+        # the box (measured 4-exec slower than 1-exec without this). Cap the
+        # pools to the executor's own core share — which is also what a real
+        # cluster's per-node JVM would see.
+        .config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={cores_per} -XX:ConcGCThreads=2 -XX:CICompilerCount=2",
+        )
         .getOrCreate()
     )
 
