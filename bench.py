@@ -220,7 +220,7 @@ def host_cpu_ceiling(low: int, high: int) -> float:
     return totals[high] / ((high / low) * totals[low])
 
 
-def bench_scaling(tmp: str, events_path: str, rounds: int = 4, mode: str = "threads") -> dict:
+def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "threads") -> dict:
     """Large compute-dominated epochs for the N->4N criterion.
 
     ``mode="executors"`` (the criterion's shape): ``local-cluster[1,8,m]`` vs
