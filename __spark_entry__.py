@@ -250,7 +250,10 @@ def q_clickhouse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "body_sku",
         "body_status",
-        "body_tags",
+        # The operator emits body_tags as a NATIVE array<string> (ClickHouse
+        # semantics, verified by tests/test_flatten.py). The driver's pandas
+        # canonicalizer can't sort list cells, so serialize for comparison only.
+        F.to_json(F.col("body_tags")).alias("body_tags"),
         F.col("body_deleted_at").cast("string").alias("body_deleted_at"),
         "topic_key",
         "is_deleted",
@@ -740,7 +743,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT
               CASE WHEN l_quantity < 48 THEN CAST(l_partkey AS VARCHAR) END AS body_sku,
               CASE WHEN l_quantity < 48 THEN l_linestatus END AS body_status,
-              CASE WHEN l_quantity < 48 THEN [l_returnflag, l_linestatus] END AS body_tags,
+              CASE WHEN l_quantity < 48 THEN to_json([l_returnflag, l_linestatus]) END AS body_tags,
               CASE WHEN l_quantity < 48 AND l_returnflag = 'R'
                    THEN CAST({EPOCH0} + l_orderkey AS VARCHAR) END AS body_deleted_at,
               CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS topic_key,

@@ -21,6 +21,8 @@ independent SQL oracle reproduces the exact buckets.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,24 +78,30 @@ def brute_force_topk(
     )
 
 
+def hyperplane_components(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane, computed driver-side:
+    component i of plane p is ``(sha256-hash60("plane{p}:{i}") % 2001 - 1000)
+    / 1000`` ∈ [-1, 1] — bit-identical to the SQL-oracle formulation
+    (``conv(substring(sha2(...), 1, 15), 16, 10) % 2001 - 1000) / 1000``),
+    so buckets reproduce in any engine with sha256."""
+    return [
+        (int(hashlib.sha256(f"plane{plane}:{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component i of plane p is
-    ``(sha2-hash60(p:i) % 2001 - 1000) / 1000`` ∈ [-1, 1] — reproducible in
-    any engine with sha256."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: (
-            F.conv(
-                F.substring(
-                    F.sha2(F.concat(F.lit(f"plane{plane}:"), i.cast("string")), 256), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2001
-            - 1000
-        ).cast("double")
-        / 1000.0,
+    """Literal hyperplane array.
+
+    The planes are constants, but Catalyst does not constant-fold inside
+    higher-order-function lambdas — an expression-side sha2 formulation costs
+    ``n_planes × dim`` sha256 calls PER ROW in ``rhp_bucket`` (512/row at the
+    defaults), which dominates at 10^9 vectors. So compute the (identical)
+    values once on the driver and embed them as literals, exactly as
+    ``ivf_assign`` does for its codebook."""
+    return F.array(
+        *[F.lit(x).cast("double") for x in hyperplane_components(plane, dim)]
     )
 
 

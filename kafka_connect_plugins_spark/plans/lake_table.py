@@ -217,6 +217,11 @@ class LakeTable:
         m_from = self.manifest(from_version)
         if to_version is None:
             to_version = int(m_to["version"])
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version ({from_version}) must be <= to_version "
+                f"({to_version}); swapped arguments would silently invert the feed"
+            )
         changed = sorted(
             {
                 int(b)
@@ -436,62 +441,66 @@ class LakeTable:
             .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay_src])
             .persist()
         )
-        dirty = sorted(
-            int(r[BUCKET_COL]) for r in src_winners.select(BUCKET_COL).distinct().collect()
-        )
-
-        target = self._read_buckets(manifest, dirty)
-        if target is not None:
-            # Align target to the evolved column set. Stored rows carry their
-            # own tombstone flag: delete markers are RETAINED in the table
-            # (filtered at read) so their LSN keeps shielding the key from
-            # late-arriving lower-LSN inserts — batches need not be LSN-ordered.
-            for f_ in user_fields:
-                if f_.name not in target.columns:
-                    target = target.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-            if TOMBSTONE_COL not in target.columns:
-                target = target.withColumn(TOMBSTONE_COL, F.lit(False))
-            target = target.withColumn("__src", F.lit(0))
-            combined = src_winners.withColumn("__src", F.lit(1)).unionByName(
-                target, allowMissingColumns=True
+        try:
+            dirty = sorted(
+                int(r[BUCKET_COL]) for r in src_winners.select(BUCKET_COL).distinct().collect()
             )
-        else:
-            combined = src_winners.withColumn("__src", F.lit(1))
 
-        # Final LWW aggregation over collapsed source winners ∪ dirty target
-        # rows — both sides are at most one row per key, so this is a small
-        # job. Source wins equal-LSN ties (idempotence), encoded by packing
-        # (lsn, src) into one long — a plain-column ordering keeps max_by
-        # inside whole-stage codegen (struct orderings drop to an interpreted
-        # comparator that measured 5-12x slower and anti-scaled with cores).
-        #
-        # Deployment note: both max_by aggs run as ObjectHashAggregate
-        # (struct-typed agg buffer). Spark's default sort-based fallback
-        # threshold is 128 distinct keys, which silently turns every epoch
-        # into a full sort — measured 4-13x slower and anti-scaling. Sessions
-        # should raise spark.sql.objectHashAggregate.sortBased.
-        # fallbackThreshold (the buffer is one small struct per key); see
-        # main.build_session.
-        pay2 = [c for c in combined.columns if c not in keys]
-        ordering = F.col(LSN_COL) * 2 + F.col("__src")
-        winners = (
-            combined.groupBy(*keys)
-            .agg(F.max_by(F.struct(*pay2), ordering).alias("__w"))
-            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
-        )
-        live = winners.drop("__src")
+            target = self._read_buckets(manifest, dirty)
+            if target is not None:
+                # Align target to the evolved column set. Stored rows carry their
+                # own tombstone flag: delete markers are RETAINED in the table
+                # (filtered at read) so their LSN keeps shielding the key from
+                # late-arriving lower-LSN inserts — batches need not be LSN-ordered.
+                for f_ in user_fields:
+                    if f_.name not in target.columns:
+                        target = target.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+                if TOMBSTONE_COL not in target.columns:
+                    target = target.withColumn(TOMBSTONE_COL, F.lit(False))
+                target = target.withColumn("__src", F.lit(0))
+                combined = src_winners.withColumn("__src", F.lit(1)).unionByName(
+                    target, allowMissingColumns=True
+                )
+            else:
+                combined = src_winners.withColumn("__src", F.lit(1))
 
-        # Write only dirty buckets into the new data version; the bucket
-        # repartition bounds output to one file per touched bucket.
-        new_version = int(manifest["version"]) + 1
-        out_dir = os.path.join(self.root, "data", f"v{new_version}")
-        (
-            live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-        src_winners.unpersist()
+            # Final LWW aggregation over collapsed source winners ∪ dirty target
+            # rows — both sides are at most one row per key, so this is a small
+            # job. Source wins equal-LSN ties (idempotence), encoded by packing
+            # (lsn, src) into one long — a plain-column ordering keeps max_by
+            # inside whole-stage codegen (struct orderings drop to an interpreted
+            # comparator that measured 5-12x slower and anti-scaled with cores).
+            #
+            # Deployment note: both max_by aggs run as ObjectHashAggregate
+            # (struct-typed agg buffer). Spark's default sort-based fallback
+            # threshold is 128 distinct keys, which silently turns every epoch
+            # into a full sort — measured 4-13x slower and anti-scaling. Sessions
+            # should raise spark.sql.objectHashAggregate.sortBased.
+            # fallbackThreshold (the buffer is one small struct per key); see
+            # main.build_session.
+            pay2 = [c for c in combined.columns if c not in keys]
+            ordering = F.col(LSN_COL) * 2 + F.col("__src")
+            winners = (
+                combined.groupBy(*keys)
+                .agg(F.max_by(F.struct(*pay2), ordering).alias("__w"))
+                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
+            )
+            live = winners.drop("__src")
+
+            # Write only dirty buckets into the new data version; the bucket
+            # repartition bounds output to one file per touched bucket.
+            new_version = int(manifest["version"]) + 1
+            out_dir = os.path.join(self.root, "data", f"v{new_version}")
+            (
+                live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        finally:
+            # unpersist on every exit path -- a write/schema failure must
+            # not leak the cached winners for the session's lifetime
+            src_winners.unpersist()
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
@@ -561,7 +570,9 @@ class LakeTable:
         data_dir = os.path.join(self.root, "data")
         removed_data = 0
         for name in sorted(os.listdir(data_dir)):
-            if not name.startswith("v"):
+            # Only v<digits> dirs are ours; skip stray artifacts (temp dirs,
+            # _SUCCESS-style markers) instead of aborting GC midway.
+            if not name.startswith("v") or not name[1:].isdigit():
                 continue
             if int(name[1:]) not in live_data:
                 shutil.rmtree(os.path.join(data_dir, name))

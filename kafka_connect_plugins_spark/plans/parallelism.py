@@ -22,7 +22,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     The check happens once at plan time on the driver; the repartition is a
     round-robin exchange of the (small, by precondition) input — cents of
     shuffle to unlock full-cluster compute on the stages above it.
+
+    Batch-only probe: ``.rdd`` cannot be evaluated on a streaming DataFrame
+    (and reports the pre-AQE count for shuffle-fed inputs), so streaming
+    inputs pass through unchanged — micro-batch parallelism is governed by
+    the source's own partitioning (e.g. Kafka topic partitions).
     """
+    if df.isStreaming:
+        return df
     target = int(min_partitions or df.sparkSession.sparkContext.defaultParallelism)
     if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df

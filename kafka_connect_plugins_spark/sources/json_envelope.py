@@ -62,6 +62,7 @@ def read_json_envelope(
     path: str,
     value_type: T.DataType,
     streaming: bool = False,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Read JSON-lines change events (one envelope object per line).
 
@@ -69,7 +70,14 @@ def read_json_envelope(
     from running a sampling inference pass (which a 100 TB log cannot afford)
     and makes new unknown fields an explicit schema-registry event rather
     than a silent inference change.
+
+    Routed through :func:`parse_json_envelope` so file-based ingestion and
+    Kafka-value parsing share one malformed-row contract: a corrupt line is
+    dropped (default) or retained in ``_corrupt_record`` for a dead-letter
+    sink (``keep_corrupt=True``) — never a silent all-null row.
     """
-    schema = envelope_schema(value_type)
     reader = spark.readStream if streaming else spark.read
-    return reader.schema(schema).json(path)
+    lines = reader.text(path)
+    return parse_json_envelope(
+        lines, value_type, json_col="value", keep_corrupt=keep_corrupt
+    )
