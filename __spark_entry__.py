@@ -518,6 +518,36 @@ N_PLANES = 8
 EMB_DIM = 64
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via RHP-LSH bucketing — the scale path.
+
+    Candidates are bucket collisions on a 6-plane random-hyperplane
+    signature (bounded buckets, never all-pairs), with exact cosine verify
+    inside the bucket only. The label-blocked exact join
+    (q_embedding_neardup) stays as the quadratic verifier baseline; this is
+    the plan a 10^9-vector corpus runs: one equi-join shuffle on the bucket
+    key. Fewer planes than ann_lsh (6 vs 8) => bigger buckets => higher
+    recall for the pair-mining use case.
+    """
+    from kafka_connect_plugins_spark.operators.similarity import cosine, rhp_bucket
+    from kafka_connect_plugins_spark.plans.parallelism import spread
+
+    e = spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("bucket", rhp_bucket(F.col("e"), 6, EMB_DIM))
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .withColumn("sim", cosine(F.col("l.e"), F.col("r.e")))
+        .filter(F.col("sim") >= 0.3)
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5: deterministic codebook (vec_id < 8), n_probe=1."""
     e = _t(spark, sf_dir, "embeddings").select(
@@ -619,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "token_bpe_stats": q_token_bpe_stats,
@@ -918,6 +949,14 @@ def oracle_sql() -> dict[str, str]:
                    round({_COS_SQL.format(a="l.e", b="r.e")}, 6) AS sim_r
             FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
             WHERE {_COS_SQL.format(a="l.e", b="r.e")} >= 0.35
+        """,
+        "embedding_neardup_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            b AS (SELECT vec_id, e, {_rhp_bucket_sql("e", 6, EMB_DIM)} AS bucket FROM e)
+            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                   round({_COS_SQL.format(a="l.e", b="r.e")}, 6) AS sim_r
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE {_COS_SQL.format(a="l.e", b="r.e")} >= 0.3
         """,
         "ann_ivf": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

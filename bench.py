@@ -89,6 +89,11 @@ def _session_executors(n_exec: int, cores_per: int = 8, mem_mb: int = 10240):
     import pyspark
 
     os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    # Standalone executors IGNORE spark.local.dir — the worker hands them
+    # SPARK_LOCAL_DIRS (or /tmp). Without this, executor-mode shuffle landed
+    # on spinning /tmp while thread-mode used tmpfs: a structural handicap
+    # in round 1's executor measurements.
+    os.environ["SPARK_LOCAL_DIRS"] = os.path.join(SHM, "kcp_bench_spark_local")
     return (
         _builder(
             f"bench-exec-{n_exec}",
@@ -100,14 +105,14 @@ def _session_executors(n_exec: int, cores_per: int = 8, mem_mb: int = 10240):
         # still launch with the 1g default heap unless set — the merge's
         # partial-agg map OOMs there.
         .config("spark.executor.memory", f"{mem_mb - 1024}m")
-        # Each forked JVM sizes its GC/JIT thread pools for ALL host cores;
-        # 4 executors + driver = 5 JVMs × ~23 service threads oversubscribes
-        # the box (measured 4-exec slower than 1-exec without this). Cap the
-        # pools to the executor's own core share — which is also what a real
-        # cluster's per-node JVM would see.
+        # Cap GC pools to the executor's own core share (a forked JVM sizes
+        # them for ALL host cores; 4 executors + driver oversubscribes).
+        # Do NOT cap CICompilerCount: round 1 set it to 2 and the single C2
+        # thread starved JIT of the large whole-stage-codegen methods —
+        # profiled 5.4x slower epochs (130.8s -> 24.1s on removal).
         .config(
             "spark.executor.extraJavaOptions",
-            f"-XX:ParallelGCThreads={cores_per} -XX:ConcGCThreads=2 -XX:CICompilerCount=2",
+            f"-XX:ParallelGCThreads={cores_per} -XX:ConcGCThreads=2",
         )
         .getOrCreate()
     )

@@ -30,6 +30,21 @@ METADATA_OFFSET = "_kafka_metadata_offset"
 METADATA_TIMESTAMP = "_kafka_metadata_timestamp"
 
 
-def envelope_schema(value_type: T.DataType) -> T.StructType:
-    """Full envelope schema for a given payload struct type."""
-    return T.StructType(ENVELOPE_FIELDS + [T.StructField("value", value_type, True)])
+def envelope_schema(
+    value_type: T.DataType, key_type: T.DataType | None = None
+) -> T.StructType:
+    """Full envelope schema for a given payload struct type.
+
+    ``key_type`` defaults to string; pass a StructType (or any other type)
+    for Debezium-style composite keys — the reference handles arbitrary key
+    types (UnquoteRecordKey.kt:21-24 passes non-String keys unchanged;
+    RedShiftComplexDataTypeTransformer.kt:206-208 stringifies any key into
+    ``topic_key``), and so does every stage here (see
+    :func:`kafka_connect_plugins_spark.functions.strings.stringify_any`).
+    """
+    fields = list(ENVELOPE_FIELDS)
+    if key_type is not None:
+        fields = [
+            T.StructField("key", key_type, True) if f.name == "key" else f for f in fields
+        ]
+    return T.StructType(fields + [T.StructField("value", value_type, True)])

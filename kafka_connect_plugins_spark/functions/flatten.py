@@ -55,11 +55,29 @@ class UnsupportedTypeError(TypeError):
     """
 
 
-def _field_default(field: T.StructField, defaults: dict[str, Any], flat_name: str) -> Any:
+def _field_default(
+    field: T.StructField,
+    defaults: dict[str, Any],
+    flat_name: str,
+    parent_default: dict[str, Any] | None = None,
+) -> Any:
+    """Default for a leaf, by precedence: flat override > own metadata >
+    the enclosing struct's default value for this field.
+
+    The last arm is the reference's parent-struct default propagation
+    (RedShiftComplexDataTypeTransformer.kt:91-98): when a missing nested
+    field has no default of its own, its value comes from the parent
+    struct's default (fixture employee-data.employees-value-v1.avsc:258-261,
+    ``metadata.service`` -> "Default-Service").
+    """
     if flat_name in defaults:
         return defaults[flat_name]
     meta = field.metadata or {}
-    return meta.get("default")
+    if meta.get("default") is not None:
+        return meta["default"]
+    if parent_default and field.name in parent_default:
+        return parent_default[field.name]
+    return None
 
 
 def flatten_columns(
@@ -78,7 +96,10 @@ def flatten_columns(
         raise ValueError(f"unknown flatten mode: {mode!r}")
     defaults = defaults or {}
     out: list[Column] = []
-    _walk(F.col(value_col), value_type, prefix="", mode=mode, defaults=defaults, sep=sep, out=out)
+    _walk(
+        F.col(value_col), value_type, prefix="", mode=mode, defaults=defaults,
+        sep=sep, out=out, parent_default=None,
+    )
     return out
 
 
@@ -90,13 +111,23 @@ def _walk(
     defaults: dict[str, Any],
     sep: str,
     out: list[Column],
+    parent_default: dict[str, Any] | None = None,
 ) -> None:
     for field in struct_type.fields:
         flat_name = f"{prefix}{sep}{field.name}" if prefix else field.name
         col = parent.getField(field.name)
         dtype = field.dataType
         if isinstance(dtype, T.StructType):
-            _walk(col, dtype, flat_name, mode, defaults, sep, out)
+            # A struct field's own default (a dict of per-child values) — or
+            # its share of OUR parent's default — becomes the children's
+            # parent_default (RedShiftComplexDataTypeTransformer.kt:91-98).
+            meta = field.metadata or {}
+            child_default = meta.get("default")
+            if child_default is None and parent_default:
+                child_default = parent_default.get(field.name)
+            if not isinstance(child_default, dict):
+                child_default = None
+            _walk(col, dtype, flat_name, mode, defaults, sep, out, child_default)
         elif isinstance(dtype, T.ArrayType):
             if mode == "redshift":
                 out.append(F.coalesce(F.to_json(col), F.lit("[]")).alias(flat_name))
@@ -108,7 +139,7 @@ def _walk(
             else:
                 out.append(col.alias(flat_name))
         elif isinstance(dtype, _SUPPORTED_LEAVES):
-            default = _field_default(field, defaults, flat_name)
+            default = _field_default(field, defaults, flat_name, parent_default)
             if default is not None:
                 col = F.coalesce(col, F.lit(default).cast(dtype))
             out.append(col.alias(flat_name))

@@ -33,3 +33,22 @@ def hex_of_utf8(col: Column) -> Column:
     (lowercase). Spark's ``hex`` yields uppercase, hence the ``lower``.
     """
     return F.lower(F.hex(col.cast("binary")))
+
+
+def stringify_any(col: Column, dtype=None) -> Column:
+    """Serialize a record key of ANY type into a string.
+
+    Reference: ``RedShiftComplexDataTypeTransformer.kt:206-208`` stringifies
+    whatever key the record carries into ``topic_key``. For Spark types:
+    strings pass through, complex types (struct/map/array — Debezium-style
+    composite keys) render as canonical JSON, binary as lowercase hex, and
+    scalars via ``cast(string)``. Pass the column's ``DataType`` to pick the
+    serialization at plan time.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.StructType, T.MapType, T.ArrayType)):
+        return F.to_json(col)
+    if isinstance(dtype, T.BinaryType):
+        return F.lower(F.hex(col))
+    return col.cast("string")

@@ -38,6 +38,19 @@ class Stage(ABC):
     def apply(self, df: DataFrame) -> DataFrame:
         """Transform the stream. Must be a pure plan transformation."""
 
+    def invalid_condition(self, df: DataFrame):
+        """Predicate (Column) matching rows this stage would fail on, or None.
+
+        The dead-letter contract: a stage that can raise on bad rows (the
+        reference wraps such failures per record with payload-context logging
+        — RedShiftComplexDataTypeTransformer.kt:47-55,
+        JsonToHexTransformer.kt:63-71) declares the failure predicate here so
+        :meth:`Pipeline.apply_with_dlq` can quarantine those rows instead of
+        killing the task (Connect's ``errors.tolerance=all`` +
+        ``errors.deadletterqueue.topic.name``).
+        """
+        return None
+
     def __init_subclass__(cls, **kwargs: Any) -> None:
         super().__init_subclass__(**kwargs)
         _REGISTRY[cls.__name__] = cls
@@ -98,3 +111,39 @@ class Pipeline:
         for s in self.stages:
             df = s.apply(df)
         return df
+
+    def apply_with_dlq(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Run the chain with Connect's ``errors.tolerance=all`` semantics.
+
+        Returns ``(good, dead_letters)``. Before each stage runs, rows
+        matching the stage's :meth:`Stage.invalid_condition` are diverted to
+        the dead-letter DataFrame — each row exactly as the failing stage
+        would have seen it, plus ``_dlq_stage`` (the failing stage's class
+        name, Connect's ``__connect.errors.class`` header analogue). The
+        chain itself then runs only on clean rows, so expression-level
+        ``raise_error`` guards never fire.
+
+        Plan shape: each diversion is a predicate filter fused into the scan
+        (no shuffle added); the DLQ side is a union of filtered scans that
+        only materializes if the caller writes it.
+        """
+        from pyspark.sql import functions as F
+
+        df0 = df
+        dlq_parts: list[DataFrame] = []
+        for s in self.stages:
+            cond = s.invalid_condition(df)
+            if cond is not None:
+                bad = F.coalesce(cond, F.lit(False))
+                dlq_parts.append(
+                    df.filter(bad).withColumn("_dlq_stage", F.lit(type(s).__name__))
+                )
+                df = df.filter(~bad)
+            df = s.apply(df)
+        if dlq_parts:
+            dlq = dlq_parts[0]
+            for part in dlq_parts[1:]:
+                dlq = dlq.unionByName(part, allowMissingColumns=True)
+        else:
+            dlq = df0.filter(F.lit(False)).withColumn("_dlq_stage", F.lit(None).cast("string"))
+        return df, dlq

@@ -32,6 +32,7 @@ from kafka_connect_plugins_spark.envelope import (
 )
 from kafka_connect_plugins_spark.functions.flatten import flatten_columns
 from kafka_connect_plugins_spark.functions.paths import dot_path_exists
+from kafka_connect_plugins_spark.functions.strings import stringify_any
 from kafka_connect_plugins_spark.operators.base import Stage
 
 
@@ -77,7 +78,12 @@ class ClickHouseFlatten(Stage):
                 marker = marker.getField(part)
             deleted = deleted | marker.isNotNull()
         cols += [
-            F.coalesce(F.col(self.key_column).cast("string"), F.lit("")).alias("topic_key"),
+            # topic_key stringifies ANY key type (struct/map -> JSON, binary ->
+            # hex; RedShiftComplexDataTypeTransformer.kt:206-208)
+            F.coalesce(
+                stringify_any(F.col(self.key_column), df.schema[self.key_column].dataType),
+                F.lit(""),
+            ).alias("topic_key"),
             F.when(deleted, 1).otherwise(0).cast("tinyint").alias("is_deleted"),
             F.col("partition").cast("string").alias(METADATA_PARTITION),
             F.col("offset").cast("string").alias(METADATA_OFFSET),

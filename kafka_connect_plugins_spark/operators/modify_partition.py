@@ -65,3 +65,10 @@ class ModifyPartition(Stage):
         if self.repartition_by_route:
             out = out.repartition(self.num_partitions, F.col(self.output_column))
         return out
+
+    def invalid_condition(self, df: DataFrame):
+        # The rows apply() would raise on (ModifyPartition.kt:42) — lets
+        # Pipeline.apply_with_dlq quarantine them instead of failing the task.
+        if not self.fail_on_missing:
+            return None
+        return F.col("headers").getItem(self.header_key).isNull()

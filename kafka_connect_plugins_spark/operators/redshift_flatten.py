@@ -33,6 +33,7 @@ from kafka_connect_plugins_spark.envelope import (
     METADATA_TIMESTAMP,
 )
 from kafka_connect_plugins_spark.functions.flatten import flatten_columns
+from kafka_connect_plugins_spark.functions.strings import stringify_any
 from kafka_connect_plugins_spark.operators.base import Stage
 
 
@@ -65,7 +66,12 @@ class RedshiftFlatten(Stage):
         if self.body_field in value_type.fieldNames():
             tombstone = tombstone | value.getField(self.body_field).isNull()
         cols += [
-            F.coalesce(F.col(self.key_column).cast("string"), F.lit("")).alias("topic_key"),
+            # topic_key stringifies ANY key type (struct/map -> JSON, binary ->
+            # hex; RedShiftComplexDataTypeTransformer.kt:206-208)
+            F.coalesce(
+                stringify_any(F.col(self.key_column), df.schema[self.key_column].dataType),
+                F.lit(""),
+            ).alias("topic_key"),
             tombstone.alias("tombstone"),
             F.col("partition").cast("string").alias(METADATA_PARTITION),
             F.col("offset").cast("string").alias(METADATA_OFFSET),

@@ -26,4 +26,12 @@ class UnquoteRecordKey(Stage):
         self.key_column = config["key.column"]
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        # Non-String keys pass unchanged (UnquoteRecordKey.kt:21-24,
+        # UnquoteRecordKeyTest.kt:76-90: Int / Struct keys are untouched).
+        # The type check is plan-time — a struct-keyed stream flows through
+        # with zero added work.
+        if not isinstance(df.schema[self.key_column].dataType, T.StringType):
+            return df
         return df.withColumn(self.key_column, unquote_both_ends(F.col(self.key_column)))

@@ -345,6 +345,7 @@ class LakeTable:
         epoch_id: int | None = None,
         stream_id: str = "default",
         lineage_col: str | None = None,
+        broadcast_key_limit: int = 2_000_000,
     ) -> MergeStats:
         """MERGE upsert: last-writer-wins per key on the LSN.
 
@@ -428,22 +429,44 @@ class LakeTable:
         else:
             src_rows = int(src.count())
 
-        # Collapse the source to its per-key LWW winners ONCE and cache the
-        # (tiny: <= one row per touched key) result; the dirty-bucket set,
-        # the union with the target, and the final write all read the cache
-        # instead of re-scanning + re-aggregating the full event batch. This
-        # is the single heavy job of the merge: scan + map-side partial
-        # max_by + one key-hash shuffle.
+        # Collapse the source to its per-key LWW winners. Two physical plans:
+        #
+        # (a) argmax-via-join-back (default): a NARROW aggregation over
+        #     (keys, bucket, lsn) finds each key's winning LSN — parquet
+        #     column pruning keeps the payload (the content column dominates
+        #     the batch's bytes) out of that scan entirely. The full-width
+        #     pass then keeps exactly the winning rows via a broadcast
+        #     semi-join, so the wide path is MAP-ONLY: no payload byte ever
+        #     crosses a shuffle and no per-update struct copy churns an agg
+        #     buffer. Profiling showed the merge's heavy stage is
+        #     DRAM-bandwidth-bound at high core counts (per-task CPU triples
+        #     with stall cycles at 32 concurrent tasks), so removing payload
+        #     traffic is the N->4N scaling lever.
+        # (b) single-pass max_by(struct) partial agg: when the epoch touches
+        #     more keys than a broadcast can carry (> broadcast_key_limit),
+        #     the one-shuffle plan wins — map-side partial collapse bounds
+        #     the exchange at one row per key per task. Equal-LSN duplicates
+        #     survive plan (a)'s join; the final LWW agg below collapses them
+        #     identically in both plans.
         pay_src = [c for c in src.columns if c not in keys]
-        src_winners = (
-            src.groupBy(*keys)
-            .agg(F.max_by(F.struct(*pay_src), F.col(LSN_COL)).alias("__w"))
-            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay_src])
-            .persist()
+        winner_keys = (
+            src.groupBy(*keys, BUCKET_COL).agg(F.max(LSN_COL).alias(LSN_COL)).persist()
         )
+        plan_b = winner_keys.count() > broadcast_key_limit
+        if plan_b:
+            src_winners = (
+                src.groupBy(*keys)
+                .agg(F.max_by(F.struct(*pay_src), F.col(LSN_COL)).alias("__w"))
+                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay_src])
+                .persist()
+            )
+        else:
+            src_winners = src.join(
+                F.broadcast(winner_keys.select(*keys, LSN_COL)), [*keys, LSN_COL], "inner"
+            )
         try:
             dirty = sorted(
-                int(r[BUCKET_COL]) for r in src_winners.select(BUCKET_COL).distinct().collect()
+                int(r[BUCKET_COL]) for r in winner_keys.select(BUCKET_COL).distinct().collect()
             )
 
             target = self._read_buckets(manifest, dirty)
@@ -500,7 +523,9 @@ class LakeTable:
         finally:
             # unpersist on every exit path -- a write/schema failure must
             # not leak the cached winners for the session's lifetime
-            src_winners.unpersist()
+            winner_keys.unpersist()
+            if plan_b:
+                src_winners.unpersist()
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
