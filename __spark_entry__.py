@@ -499,11 +499,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
+    ).withColumn("n", similarity.l2_norm(F.col("e")))  # norm once per ROW, not per pair
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id")))
-        .withColumn("sim", similarity.cosine(F.col("l.e"), F.col("r.e")))
+        .withColumn(
+            "sim", similarity.dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n"))
+        )
         .filter(F.col("sim") >= 0.35)
         .select(
             F.col("l.vec_id").alias("id_a"),
@@ -529,16 +531,18 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. Fewer planes than ann_lsh (6 vs 8) => bigger buckets => higher
     recall for the pair-mining use case.
     """
-    from kafka_connect_plugins_spark.operators.similarity import cosine, rhp_bucket
+    from kafka_connect_plugins_spark.operators.similarity import dot, l2_norm, rhp_bucket
     from kafka_connect_plugins_spark.plans.parallelism import spread
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("bucket", rhp_bucket(F.col("e"), 6, EMB_DIM))
+    ).withColumn("bucket", rhp_bucket(F.col("e"), 6, EMB_DIM)).withColumn(
+        "n", l2_norm(F.col("e"))  # norm once per ROW, not per pair
+    )
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
-        .withColumn("sim", cosine(F.col("l.e"), F.col("r.e")))
+        .withColumn("sim", dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
         .filter(F.col("sim") >= 0.3)
         .select(
             F.col("l.vec_id").alias("id_a"),

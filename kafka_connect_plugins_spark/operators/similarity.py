@@ -58,10 +58,16 @@ def brute_force_topk(
 
     The plan a 1000-executor cluster wants: the candidate side never moves;
     each task scores its candidate partition against the broadcast queries;
-    the final per-query top-k is the single (tiny) shuffle.
-    """
-    sims = spread(candidates).crossJoin(F.broadcast(queries)).withColumn(
-        "sim", cosine(F.col(query_vec), F.col(cand_vec))
+    the final per-query top-k is the single (tiny) shuffle. Norms are
+    materialized ONCE per row on each side before the join — Catalyst does
+    not common-subexpression-eliminate the higher-order ``aggregate`` lambda,
+    so an inline ``cosine`` would recompute both norms per PAIR (k×|C|
+    sqrt-folds instead of |Q|+|C|)."""
+    qn = queries.withColumn("__qn", l2_norm(F.col(query_vec)))
+    cn = spread(candidates).withColumn("__cn", l2_norm(F.col(cand_vec)))
+    sims = cn.crossJoin(F.broadcast(qn)).withColumn(
+        "sim",
+        dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
     )
     from pyspark.sql import Window
 
@@ -134,9 +140,17 @@ def lsh_topk(
     higher recall, more work). At cluster scale the bucket equi-join shuffles
     both sides on the bucket key once; bucket skew is bounded by 2^n_planes.
     """
-    qb = queries.withColumn("__bucket", rhp_bucket(F.col(query_vec), n_planes, dim))
-    cb = spread(candidates).withColumn("__bucket", rhp_bucket(F.col(cand_vec), n_planes, dim))
-    sims = qb.join(cb, "__bucket").withColumn("sim", cosine(F.col(query_vec), F.col(cand_vec)))
+    qb = queries.withColumn("__bucket", rhp_bucket(F.col(query_vec), n_planes, dim)).withColumn(
+        "__qn", l2_norm(F.col(query_vec))
+    )
+    cb = spread(candidates).withColumn(
+        "__bucket", rhp_bucket(F.col(cand_vec), n_planes, dim)
+    ).withColumn("__cn", l2_norm(F.col(cand_vec)))
+    # norms precomputed per ROW (not per pair) — see brute_force_topk
+    sims = qb.join(cb, "__bucket").withColumn(
+        "sim",
+        dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(cand_id))
@@ -167,19 +181,33 @@ def ivf_assign(
     all inside whole-stage codegen over the scan. At 10^9 vectors this is
     the linear-scan quantizer every IVF build runs, with no wide exchange.
     """
+    import math
+
+    # Centroid norms are constants — fold them driver-side (same sequential
+    # IEEE-double sum as the SQL oracle's list_sum, so values are
+    # bit-identical); the row's own norm is materialized once in a prior
+    # projection instead of 8x inside the argmax lambda (Catalyst does not
+    # CSE across higher-order-function lambdas).
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_norm = df.withColumn("__vn", l2_norm(vec_d))
     entries = F.array(
         *[
             F.struct(
-                cosine(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    F.array(*[F.lit(float(x)).cast("double") for x in cvec]),
+                (
+                    dot(vec_d, F.array(*[F.lit(float(x)).cast("double") for x in cvec]))
+                    / (
+                        F.col("__vn")
+                        # plain sequential sum == Spark's aggregate fold ==
+                        # the oracle's list_sum: bit-identical doubles
+                        * F.lit(math.sqrt(sum(float(x) * float(x) for x in cvec)))
+                    )
                 ).alias("sim"),
                 F.lit(int(cid)).alias("cid"),
             )
             for cid, cvec in centroids
         ]
     )
-    return df.withColumn(out_col, F.array_max(entries)["cid"])
+    return with_norm.withColumn(out_col, F.array_max(entries)["cid"]).drop("__vn")
 
 
 def ivf_topk(
@@ -193,10 +221,16 @@ def ivf_topk(
     cand_vec: str = "ce",
 ) -> DataFrame:
     """IVF search (n_probe=1): exact cosine within the query's posting list."""
-    qa = ivf_assign(queries, centroids, query_vec)
-    ca = ivf_assign(spread(candidates), centroids, cand_vec)
+    qa = ivf_assign(queries, centroids, query_vec).withColumn(
+        "__qn", l2_norm(F.col(query_vec))
+    )
+    ca = ivf_assign(spread(candidates), centroids, cand_vec).withColumn(
+        "__cn", l2_norm(F.col(cand_vec))
+    )
+    # norms precomputed per ROW (not per pair) — see brute_force_topk
     sims = qa.join(ca, "list_id").withColumn(
-        "sim", cosine(F.col(query_vec), F.col(cand_vec))
+        "sim",
+        dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
     )
     from pyspark.sql import Window
 

@@ -75,21 +75,38 @@ class StreamingIngest:
         pipeline: Pipeline | None = None,
         stream_id: str = "stream",
         metrics: MetricsLog | None = None,
+        dlq_dir: str | None = None,
     ):
         self.table = table
         self.pipeline = pipeline
         self.stream_id = stream_id
         self.metrics = metrics
+        # Connect's errors.deadletterqueue.topic.name analogue: when set (and
+        # a pipeline is present), rows a stage would fail on are appended
+        # here as parquet (partitioned by epoch) instead of failing the
+        # query — see Pipeline.apply_with_dlq.
+        self.dlq_dir = dlq_dir
         self.epoch_stats: list[MergeStats] = []
 
     # foreachBatch body — runs on the driver once per microbatch.
     def _apply(self, batch: DataFrame, epoch_id: int) -> None:
+        pipeline = self.pipeline
+        if self.dlq_dir is not None and pipeline is not None:
+            from pyspark.sql import functions as F
+
+            batch, dlq = pipeline.apply_with_dlq(batch)
+            pipeline = Pipeline([])  # chain already applied
+            (
+                dlq.withColumn("_dlq_epoch", F.lit(int(epoch_id)))
+                .write.mode("append")
+                .parquet(self.dlq_dir)
+            )
         stats = apply_batch(
             self.table,
             batch,
             epoch_id=int(epoch_id),
             stream_id=self.stream_id,
-            pipeline=self.pipeline,
+            pipeline=pipeline,
         )
         self.epoch_stats.append(stats)
         if self.metrics is not None:

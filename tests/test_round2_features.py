@@ -213,3 +213,57 @@ class TestIcebergMergeSql:
         plan = parser.parsePlan(sql)  # raises ParseException on bad syntax
         assert "MergeIntoTable" in plan.getClass().getSimpleName()
         assert "WHEN MATCHED AND s._lsn >= t._lsn THEN UPDATE" in sql
+
+
+class TestStreamingDlq:
+    def test_streaming_ingest_writes_dead_letters(self, spark, tmp_path):
+        """Poisoned microbatch -> clean rows merged, bad rows in the DLQ dir,
+        query survives (Connect errors.tolerance=all, deadletterqueue.*)."""
+        import pyspark.sql.functions as F
+
+        from kafka_connect_plugins_spark.envelope import envelope_schema
+        from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+        from kafka_connect_plugins_spark.streaming.ingest import StreamingIngest
+
+        val_t = T.StructType(
+            [
+                T.StructField("repo", T.StringType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("commit", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("content", T.StringType()),
+                T.StructField("deleted_at", T.LongType()),
+            ]
+        )
+        schema = envelope_schema(val_t)
+        rows = [
+            ("t", 0, i, 1000 + i, f"r{i}|p{i}", ({"account_id": "u"} if i != 2 else None),
+             (f"r{i}", f"p{i}", "c", "py", "x", None))
+            for i in range(4)
+        ]
+        events_dir = str(tmp_path / "events")
+        spark.createDataFrame(rows, schema).write.parquet(events_dir)
+
+        table = LakeTable.create(
+            spark, str(tmp_path / "table"), key_columns=["repo", "path"], num_buckets=4
+        )
+        pipe = Pipeline.from_connect_config(
+            {
+                "transforms": "route",
+                "transforms.route.type": "ModifyPartition",
+                "transforms.route.header.key": "account_id",
+                "transforms.route.number.partitions": "4",
+            }
+        )
+        dlq_dir = str(tmp_path / "dlq")
+        ingest = StreamingIngest(table, pipeline=pipe, dlq_dir=dlq_dir)
+        stats = ingest.run_available(
+            spark, events_dir, str(tmp_path / "ckpt"), value_type=val_t, timeout_sec=120
+        )
+        assert sum(s.source_rows for s in stats) == 3  # bad row diverted
+        assert table.read().count() == 3
+        dlq = spark.read.parquet(dlq_dir)
+        assert dlq.count() == 1
+        r = dlq.first()
+        assert r["offset"] == 2 and r["_dlq_stage"] == "ModifyPartition"
+        assert "_dlq_epoch" in dlq.columns
