@@ -161,15 +161,26 @@ def wait_for_quiet_host(max_degradation: float = 0.25, retries: int = 8, nap: in
     import multiprocessing
 
     global _BEST_PROBE
+    rate = 0.0
     for attempt in range(retries):
-        with multiprocessing.Pool(4) as p:
-            rate = sum(p.map(_bw_probe, range(4)))
-        _BEST_PROBE = max(_BEST_PROBE, rate)
+        rate = probe_rate()
         if rate >= (1.0 - max_degradation) * _BEST_PROBE:
-            return
+            return rate
         log(f"host noisy (membw probe {rate / _BEST_PROBE:.2f} of best); napping {nap}s"
             f" ({attempt + 1}/{retries})")
         time.sleep(nap)
+    return rate
+
+
+def probe_rate() -> float:
+    """One ~1s 4-process memcpy bandwidth sample; tracks the best seen."""
+    import multiprocessing
+
+    global _BEST_PROBE
+    with multiprocessing.Pool(4) as p:
+        rate = sum(p.map(_bw_probe, range(4)))
+    _BEST_PROBE = max(_BEST_PROBE, rate)
+    return rate
 
 
 def _bw_worker(_arg):
@@ -265,9 +276,26 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "thre
         )
         apply_batch(table, events.filter(F.col("offset") < warm), epoch_id=0, stream_id="scale")
         spark.stop()
-    for rnd in range(1, rounds + 1):
+    # A pre-epoch quiet gate alone is NOT enough on this host: contention
+    # bursts arriving MID-epoch poisoned round-1 numbers (multi-JVM levels
+    # are hyper-sensitive — a descheduled GC thread pauses all of that
+    # executor's task threads, so steal degrades local-cluster superlinearly
+    # while the same window leaves local[32] untouched). So every sample is
+    # validated by a second probe AFTER the epoch; a sample is CLEAN only if
+    # both probes are >= 0.8 of the best window seen. Levels are resampled,
+    # interleaved, until each has `clean_target` clean epochs (bounded).
+    clean_target = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN", "2"))
+    max_attempts = max(rounds, 2 * clean_target + 2)
+    clean: dict[int, list[tuple[float, int]]] = {low_cores: [], high_cores: []}
+    rnd = 0
+    while rnd < max_attempts and any(
+        len(clean[c]) < clean_target for c in (low_cores, high_cores)
+    ):
+        rnd += 1
         for cores, (factory, label) in levels.items():
-            wait_for_quiet_host()
+            if len(clean[cores]) >= clean_target:
+                continue
+            pre = wait_for_quiet_host()
             spark = factory()
             events = spark.read.parquet(events_path)
             table = LakeTable.load(spark, os.path.join(tmp, f"scale_table_{mode}_{cores}"))
@@ -275,20 +303,27 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "thre
             t0 = time.time()
             st = apply_batch(table, batch, epoch_id=rnd, stream_id="scale")
             dt = time.time() - t0
-            rates[cores].append((dt, st.source_rows))
-            log(f"scaling[{mode}] round {rnd} {label}: {st.source_rows} ev in {dt:.1f}s"
-                f" = {st.source_rows / dt:,.0f} ev/s")
             spark.stop()
+            post = probe_rate()
+            ok = min(pre, post) >= 0.8 * _BEST_PROBE
+            rates[cores].append((dt, st.source_rows))
+            if ok:
+                clean[cores].append((dt, st.source_rows))
+            log(f"scaling[{mode}] round {rnd} {label}: {st.source_rows} ev in {dt:.1f}s"
+                f" = {st.source_rows / dt:,.0f} ev/s"
+                f" [{'clean' if ok else 'noisy'}: probes {pre / _BEST_PROBE:.2f}/"
+                f"{post / _BEST_PROBE:.2f}]")
 
     results = {}
     for cores, samples in rates.items():
-        best_dt, rows = min(samples)
+        best_dt, rows = min(clean[cores]) if clean[cores] else min(samples)
         results[cores] = {
             "cores": cores,
             "label": levels[cores][1],
             "seconds": round(best_dt, 2),
             "events_per_sec": round(rows / best_dt),
             "all_seconds": [round(d, 2) for d, _ in samples],
+            "clean_seconds": [round(d, 2) for d, _ in clean[cores]],
         }
     raw = results[high_cores]["events_per_sec"] / (
         (high_cores / low_cores) * results[low_cores]["events_per_sec"]
@@ -422,14 +457,15 @@ def bench_replay(tmp: str, events_path: str) -> dict:
     }
 
 
-def bench_queries(spark, rounds: int = 2) -> dict[str, float]:
+def bench_queries(spark, rounds: int = 3) -> dict[str, float]:
     """Per-query wall time, min over ``rounds`` passes (first pass also pays
     JVM/codegen warmup; the min is the best noise-resistant point estimate
-    under co-tenant CPU steal)."""
+    under co-tenant CPU steal). Each pass is gated on a quiet-host probe."""
     import __spark_entry__ as entry
 
     times: dict[str, float] = {}
     for rnd in range(rounds):
+        wait_for_quiet_host()
         for name, fn in entry.queries().items():
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -445,6 +481,10 @@ def _scaling_table(scaling: dict) -> list[str]:
         "| --- | --- | --- | --- |",
         f"| {scaling['low']['label']} | {scaling['low']['seconds']} | {scaling['low']['events_per_sec']:,} | {scaling['low']['all_seconds']} |",
         f"| {scaling['high']['label']} | {scaling['high']['seconds']} | {scaling['high']['events_per_sec']:,} | {scaling['high']['all_seconds']} |",
+        "",
+        f"Clean epochs (pre+post noise probes >= 0.8 of best window): "
+        f"low {scaling['low'].get('clean_seconds', [])}, "
+        f"high {scaling['high'].get('clean_seconds', [])}.",
         "",
         f"Raw efficiency thr_4N / (4·thr_N): **{scaling['efficiency_raw']}**"
         f" (host ceilings this window: cpu {scaling['host_cpu_scaling_ceiling']},"
