@@ -244,6 +244,26 @@ def q_redshift_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window per-topic counts (streaming/stateful.py's
+    windowed_event_counts on its batch-replay path; the streaming path adds
+    only the watermark). Window bounds surface as epoch seconds so the
+    DuckDB oracle compares exactly."""
+    from kafka_connect_plugins_spark.streaming.stateful import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("event_type").alias("topic"),
+        (F.lit(EPOCH0) + F.col("event_id") * 37).alias("timestamp"),
+    )
+    out = windowed_event_counts(env, window="1 minute")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        "topic",
+        "n_events",
+    )
+
+
 def q_clickhouse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _lineitem_envelope(spark, sf_dir)
     out = ClickHouseFlatten({"deleted.at.field": "body.deleted_at"}).apply(env)
@@ -660,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "rolling_fingerprint": q_rolling_fingerprint,
         "media_features": q_media_features,
+        "windowed_counts": q_windowed_counts,
     }
 
 
@@ -1037,6 +1058,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE (doc_id % 3) WHEN 0 THEN '494d4730' WHEN 1 THEN '41554430'
                         ELSE '56494430' END AS magic
             FROM documents
+        """,
+        "windowed_counts": f"""
+            SELECT (({EPOCH0} + event_id * 37) // 60000) * 60 AS window_start_sec,
+                   event_type AS topic,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
     }
 

@@ -42,6 +42,16 @@ def build_session(app: str, master: str | None, shuffle_partitions: int | None) 
     # measured 4-13x slower on merge epochs and anti-scaled with cores.
     # The agg buffer is one small struct per key, so a large map is safe.
     b = b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    # Cluster deployment notes (measured on the bench harness, see BENCH.md):
+    # - standalone/local-cluster executors take their scratch dirs from
+    #   SPARK_LOCAL_DIRS, not spark.local.dir — point it at fast local disk.
+    # - do NOT cap -XX:CICompilerCount on executors: one C2 thread starves
+    #   JIT of the large whole-stage-codegen methods (measured 5.4x slower).
+    # - wide nested-struct scans allocate multi-MB column batches; on G1
+    #   heaps <= ~16g these are humongous allocations — if GC logs show
+    #   "G1 Humongous Allocation" churn, lower
+    #   spark.sql.parquet.columnarReaderBatchSize (e.g. 1024) or raise
+    #   -XX:G1HeapRegionSize.
     return b.getOrCreate()
 
 
