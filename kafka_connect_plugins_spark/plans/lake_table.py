@@ -334,6 +334,25 @@ class LakeTable:
             return None, []
         return json.loads(T.StructType(fields).json()), added
 
+    def _max_files_per_dirty_bucket(self, manifest: dict, dirty: list[int]) -> int:
+        """Largest parquet-file count among the dirty buckets' current dirs.
+
+        Drives amortized compaction-on-write: the map-only merge path adds
+        ~one file per bucket per epoch; once a bucket crosses the threshold
+        the next merge pays one bucket-repartition to fold it back to a
+        single file. Driver-side listing of <= len(dirty) directories.
+        """
+        worst = 0
+        for b in dirty:
+            v = manifest["buckets"].get(str(b))
+            if v is None:
+                continue
+            bdir = os.path.join(self.root, "data", f"v{int(v)}", f"{BUCKET_COL}={b}")
+            if os.path.isdir(bdir):
+                n = sum(1 for f_ in os.listdir(bdir) if f_.endswith(".parquet"))
+                worst = max(worst, n)
+        return worst
+
     # ------------------------------------------------------------------
     # MERGE
     # ------------------------------------------------------------------
@@ -346,6 +365,7 @@ class LakeTable:
         stream_id: str = "default",
         lineage_col: str | None = None,
         broadcast_key_limit: int = 2_000_000,
+        compact_files_per_bucket: int = 4,
     ) -> MergeStats:
         """MERGE upsert: last-writer-wins per key on the LSN.
 
@@ -480,43 +500,96 @@ class LakeTable:
                         target = target.withColumn(f_.name, F.lit(None).cast(f_.dataType))
                 if TOMBSTONE_COL not in target.columns:
                     target = target.withColumn(TOMBSTONE_COL, F.lit(False))
-                target = target.withColumn("__src", F.lit(0))
-                combined = src_winners.withColumn("__src", F.lit(1)).unionByName(
-                    target, allowMissingColumns=True
-                )
-            else:
-                combined = src_winners.withColumn("__src", F.lit(1))
 
-            # Final LWW aggregation over collapsed source winners ∪ dirty target
-            # rows — both sides are at most one row per key, so this is a small
-            # job. Source wins equal-LSN ties (idempotence), encoded by packing
-            # (lsn, src) into one long — a plain-column ordering keeps max_by
-            # inside whole-stage codegen (struct orderings drop to an interpreted
-            # comparator that measured 5-12x slower and anti-scaled with cores).
+            # Combine source winners with the dirty-target rows. Two plans,
+            # matching the collapse above:
             #
-            # Deployment note: both max_by aggs run as ObjectHashAggregate
-            # (struct-typed agg buffer). Spark's default sort-based fallback
-            # threshold is 128 distinct keys, which silently turns every epoch
-            # into a full sort — measured 4-13x slower and anti-scaling. Sessions
-            # should raise spark.sql.objectHashAggregate.sortBased.
-            # fallbackThreshold (the buffer is one small struct per key); see
-            # main.build_session.
-            pay2 = [c for c in combined.columns if c not in keys]
-            ordering = F.col(LSN_COL) * 2 + F.col("__src")
-            winners = (
-                combined.groupBy(*keys)
-                .agg(F.max_by(F.struct(*pay2), ordering).alias("__w"))
-                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
-            )
-            live = winners.drop("__src")
+            # (a) broadcast-merge (default): the dirty-target rewrite is
+            #     MAP-ONLY. A target row is carried iff no winner out-ranks it
+            #     (broadcast LEFT join on the tiny winner-key set + filter:
+            #     source wins equal LSN — idempotent replay); a source winner
+            #     lands unless the target holds a strictly higher LSN (stale
+            #     late arrival), detected by a narrow column-pruned (keys,lsn)
+            #     probe of the same bucket files. NO shuffle is proportional to
+            #     table size — at 100 TB an update-heavy epoch rewrites its
+            #     dirty buckets in place of a cluster-wide exchange. The only
+            #     exchanges are over the winner set: a dropDuplicates collapse
+            #     of equal-LSN replays and the bucket repartition of new rows.
+            #     File growth: carried rows write ~one file per input split, so
+            #     a bucket gains ~one file per epoch; once any dirty bucket
+            #     exceeds compact_files_per_bucket the epoch's write runs
+            #     through the compacting repartition below instead (amortized
+            #     compaction-on-write, Iceberg rewrite_data_files folded into
+            #     the merge).
+            # (b) union + LWW aggregation: when winners exceed the broadcast
+            #     limit — one key-hash shuffle of winners ∪ dirty-target rows.
+            #     Source wins equal-LSN ties by packing (lsn, src) into one
+            #     long: a plain-column max_by ordering stays inside whole-stage
+            #     codegen (struct orderings drop to an interpreted comparator
+            #     that measured 5-12x slower), and sessions should raise
+            #     spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+            #     (default 128 keys => every epoch silently sorts; see
+            #     main.build_session).
+            compact = plan_b or self._max_files_per_dirty_bucket(
+                manifest, dirty
+            ) >= compact_files_per_bucket
+            if not plan_b:
+                # equal-LSN replay duplicates both survive the join-back;
+                # collapse them (tiny: one shuffle of the winner rows only)
+                src_winners = src_winners.dropDuplicates(keys)
+                if target is not None:
+                    wk = winner_keys.select(
+                        *keys, F.col(LSN_COL).alias("__w_lsn")
+                    )
+                    carried = (
+                        target.join(F.broadcast(wk), keys, "left")
+                        .filter(
+                            F.col("__w_lsn").isNull()
+                            | (F.col("__w_lsn") < F.col(LSN_COL))
+                        )
+                        .drop("__w_lsn")
+                    )
+                    stale = (
+                        target.select(*keys, LSN_COL)
+                        .join(F.broadcast(wk), keys, "inner")
+                        .filter(F.col(LSN_COL) > F.col("__w_lsn"))
+                        .select(*keys)
+                    )
+                    fresh = src_winners.join(F.broadcast(stale), keys, "left_anti")
+                    live = carried.unionByName(
+                        fresh if compact else fresh.repartition(
+                            max(len(dirty), 1), F.col(BUCKET_COL)
+                        ),
+                        allowMissingColumns=True,
+                    )
+                else:
+                    live = src_winners
+            else:
+                tgt = (
+                    [target.withColumn("__src", F.lit(0))] if target is not None else []
+                )
+                combined = src_winners.withColumn("__src", F.lit(1))
+                for t_ in tgt:
+                    combined = combined.unionByName(t_, allowMissingColumns=True)
+                pay2 = [c for c in combined.columns if c not in keys]
+                ordering = F.col(LSN_COL) * 2 + F.col("__src")
+                live = (
+                    combined.groupBy(*keys)
+                    .agg(F.max_by(F.struct(*pay2), ordering).alias("__w"))
+                    .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
+                    .drop("__src")
+                )
 
-            # Write only dirty buckets into the new data version; the bucket
-            # repartition bounds output to one file per touched bucket.
+            # Write only dirty buckets into the new data version. The
+            # compacting path bounds output to one file per touched bucket;
+            # the map-only path streams carried rows straight from their
+            # bucket files into the new version.
             new_version = int(manifest["version"]) + 1
             out_dir = os.path.join(self.root, "data", f"v{new_version}")
+            if compact:
+                live = live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
             (
-                live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
-                .write.partitionBy(BUCKET_COL)
+                live.write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
             )

@@ -218,3 +218,74 @@ def test_lineage_probe(spark, tmp_path):
     assert st.lineage == {0: {"events": 1, "max_lsn": 4}, 1: {"events": 2, "max_lsn": 7}}
     # lineage column is bookkeeping only — it must not land in the table schema
     assert "part" not in [f.name for f in t.read().schema.fields]
+
+
+def test_plan_b_unionagg_matches_plan_a(spark, tmp_path):
+    """broadcast_key_limit=0 forces the union+LWW-agg plan; final state must
+    be identical to the default broadcast-merge plan on the same batches."""
+    import os
+
+    rows1 = [
+        {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "py",
+         "content": f"v{i}", "_lsn": i, "_tombstone": False}
+        for i in range(10)
+    ]
+    rows2 = (
+        [{"repo": "r", "path": "p3", "commit": "c", "lang": "py",
+          "content": "updated", "_lsn": 100, "_tombstone": False},
+         {"repo": "r", "path": "p4", "commit": "c", "lang": "py",
+          "content": "stale", "_lsn": 1, "_tombstone": False},   # loses to lsn 4
+         {"repo": "r", "path": "p5", "commit": None, "lang": None,
+          "content": None, "_lsn": 101, "_tombstone": True}]     # delete
+    )
+    states = {}
+    for name, limit in (("a", 2_000_000), ("b", 0)):
+        t = LakeTable.create(
+            spark, str(tmp_path / f"tbl_{name}"), key_columns=["repo", "path"],
+            num_buckets=4,
+        )
+        t.merge(_src(spark, rows1), broadcast_key_limit=limit)
+        t.merge(_src(spark, rows2), broadcast_key_limit=limit)
+        states[name] = _state(t)
+    assert states["a"] == states["b"]
+    assert states["a"][("r", "p3")] == ("updated", 100)
+    assert states["a"][("r", "p4")] == ("v4", 4)
+    assert ("r", "p5") not in states["a"]
+
+
+def test_map_only_path_file_growth_is_compacted(spark, tmp_path):
+    """The map-only merge adds ~one file per dirty bucket per epoch;
+    compaction-on-write must bound the per-bucket file count."""
+    import os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"), key_columns=["repo", "path"], num_buckets=1
+    )
+    for epoch in range(10):
+        t.merge(
+            _src(spark, [
+                {"repo": "r", "path": f"p{epoch}", "commit": "c", "lang": "py",
+                 "content": f"v{epoch}", "_lsn": epoch, "_tombstone": False},
+            ]),
+            compact_files_per_bucket=3,
+        )
+    m = t.manifest()
+    v = m["buckets"]["0"]
+    bdir = os.path.join(str(tmp_path / "tbl"), "data", f"v{v}", "_bucket=0")
+    n_files = sum(1 for f_ in os.listdir(bdir) if f_.endswith(".parquet"))
+    assert n_files <= 4  # threshold 3 + this epoch's fresh file
+    # and the data is intact after all that rewriting
+    assert len(_state(t)) == 10
+    assert _state(t)[("r", "p7")] == ("v7", 7)
+
+
+def test_equal_lsn_replay_dupes_collapse_in_plan_a(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_src(spark, [
+        {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+         "content": "X", "_lsn": 7, "_tombstone": False},
+        {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+         "content": "X", "_lsn": 7, "_tombstone": False},  # exact replay dup
+    ]))
+    rows = t.read().filter("repo = 'r' AND path = 'p'").collect()
+    assert len(rows) == 1 and rows[0]["content"] == "X"
