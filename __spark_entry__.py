@@ -264,6 +264,24 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2 min window, 1 min slide) per-topic counts — each
+    event lands in exactly two windows; the oracle unions the two bucketings."""
+    from kafka_connect_plugins_spark.streaming.stateful import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("event_type").alias("topic"),
+        (F.lit(EPOCH0) + F.col("event_id") * 37).alias("timestamp"),
+    )
+    out = windowed_event_counts(env, window="2 minutes", slide="1 minute")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        "topic",
+        "n_events",
+    )
+
+
 def q_clickhouse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _lineitem_envelope(spark, sf_dir)
     out = ClickHouseFlatten({"deleted.at.field": "body.deleted_at"}).apply(env)
@@ -681,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "media_features": q_media_features,
         "windowed_counts": q_windowed_counts,
+        "sliding_counts": q_sliding_counts,
     }
 
 
@@ -1064,6 +1083,16 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS topic,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_counts": f"""
+            WITH b AS (SELECT (({EPOCH0} + event_id * 37) // 60000) * 60 AS m,
+                              event_type AS topic
+                       FROM events),
+            w AS (SELECT m AS window_start_sec, topic FROM b
+                  UNION ALL
+                  SELECT m - 60 AS window_start_sec, topic FROM b)
+            SELECT window_start_sec, topic, count(*) AS n_events
+            FROM w GROUP BY 1, 2
         """,
     }
 

@@ -36,21 +36,26 @@ def windowed_event_counts(
     window: str = "1 minute",
     watermark: str = "2 minutes",
     timestamp_col: str = "timestamp",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window per-topic event counts with late-data tolerance.
+    """Tumbling (or, with ``slide``, sliding) per-topic event counts with
+    late-data tolerance.
 
     ``timestamp_col`` is the envelope's epoch-millis event time. Events later
     than the watermark are dropped by the state store (bounded state at
-    100 TB: the store holds only open windows per topic). Works on batch
-    DataFrames too (watermark is a no-op there), so the same query serves
-    replay validation.
+    100 TB: the store holds only open windows per topic; a sliding window
+    multiplies state by window/slide). Works on batch DataFrames too
+    (watermark is a no-op there), so the same query serves replay validation.
     """
     ts = (F.col(timestamp_col) / F.lit(1000.0)).cast("timestamp").alias("__ts")
     with_ts = events.select(F.col("topic"), ts)
     if events.isStreaming:
         with_ts = with_ts.withWatermark("__ts", watermark)
+    win = (
+        F.window(F.col("__ts"), window, slide) if slide else F.window(F.col("__ts"), window)
+    )
     return (
-        with_ts.groupBy(F.window(F.col("__ts"), window).alias("window"), F.col("topic"))
+        with_ts.groupBy(win.alias("window"), F.col("topic"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("window.start").alias("window_start"),
