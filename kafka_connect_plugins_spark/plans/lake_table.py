@@ -146,22 +146,39 @@ class LakeTable:
         return T.StructType.fromJson(manifest["schema"])
 
     def _read_buckets(self, manifest: dict, buckets: list[int] | None) -> DataFrame | None:
-        """Read the current rows of the given buckets (None = all)."""
+        """Read the current rows of the given buckets (None = all).
+
+        Merge-on-read: buckets with pending delta files (``manifest["deltas"]``,
+        written by ``merge(mode="defer")``) are collapsed here with a per-key
+        LWW aggregation over base ∪ deltas, so every consumer — ``read``,
+        the rewrite merge, ``read_changes``, ``purge_tombstones`` — keeps the
+        one-row-per-key invariant. Delta-free reads stay scan-only.
+        """
         assignments = manifest["buckets"]
+        deltas = manifest.get("deltas", {})
         if buckets is not None:
-            assignments = {b: v for b, v in assignments.items() if int(b) in set(buckets)}
-        if not assignments:
+            sel = set(buckets)
+            assignments = {b: v for b, v in assignments.items() if int(b) in sel}
+            deltas = {b: vs for b, vs in deltas.items() if int(b) in sel}
+        # (version, bucket) pairs: the base file of each bucket + every
+        # pending delta version that touched it.
+        pairs = [(int(v), b) for b, v in assignments.items()]
+        pairs += [(int(v), b) for b, vs in deltas.items() for v in vs]
+        if not pairs:
             return None
         # Group by data version: one parquet scan per version dir with
         # basePath, so `_bucket=B` directory pruning applies and the
         # partition column survives.
         by_version: dict[int, list[str]] = {}
-        for b, v in assignments.items():
-            by_version.setdefault(int(v), []).append(b)
+        for v, b in pairs:
+            by_version.setdefault(v, []).append(b)
         parts = []
         for v, bs in sorted(by_version.items()):
             vdir = os.path.join(self.root, "data", f"v{v}")
-            paths = [os.path.join(vdir, f"{BUCKET_COL}={b}") for b in sorted(bs, key=int)]
+            paths = [
+                os.path.join(vdir, f"{BUCKET_COL}={b}")
+                for b in sorted(set(bs), key=int)
+            ]
             parts.append(self.spark.read.option("basePath", vdir).parquet(*paths))
         df = parts[0]
         for p in parts[1:]:
@@ -173,6 +190,20 @@ class LakeTable:
             for f_ in schema.fields:
                 if f_.name not in df.columns:
                     df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        if deltas:
+            # Collapse ONLY the delta-bearing buckets; delta-free buckets in
+            # the same read stay on the scan-only path (no shuffle for them).
+            delta_ids = sorted(int(b) for b in deltas)
+            keys = manifest["key_columns"]
+            pay = [c for c in df.columns if c not in keys]
+            with_deltas = df.filter(F.col(BUCKET_COL).isin(delta_ids))
+            collapsed = (
+                with_deltas.groupBy(*keys)
+                .agg(F.max_by(F.struct(*pay), F.col(LSN_COL)).alias("__w"))
+                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay])
+            )
+            clean = df.filter(~F.col(BUCKET_COL).isin(delta_ids))
+            df = clean.unionByName(collapsed.select(*clean.columns))
         return df
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -222,11 +253,18 @@ class LakeTable:
                 f"from_version ({from_version}) must be <= to_version "
                 f"({to_version}); swapped arguments would silently invert the feed"
             )
+        d_from, d_to = m_from.get("deltas", {}), m_to.get("deltas", {})
         changed = sorted(
             {
                 int(b)
-                for b in set(m_from["buckets"]) | set(m_to["buckets"])
+                for b in (
+                    set(m_from["buckets"]) | set(m_to["buckets"])
+                    | set(d_from) | set(d_to)
+                )
+                # a bucket changed if its base version OR its pending-delta
+                # list differs between the two snapshots (merge-on-read)
                 if m_from["buckets"].get(b) != m_to["buckets"].get(b)
+                or d_from.get(b, []) != d_to.get(b, [])
             }
         )
         schema = self._table_schema(m_to)
@@ -366,6 +404,7 @@ class LakeTable:
         lineage_col: str | None = None,
         broadcast_key_limit: int = 2_000_000,
         compact_files_per_bucket: int = 4,
+        mode: str = "rewrite",
     ) -> MergeStats:
         """MERGE upsert: last-writer-wins per key on the LSN.
 
@@ -391,7 +430,19 @@ class LakeTable:
         be a total order per key (a global offset, or pack
         ``(partition_epoch << k) | offset`` for multi-partition logs before
         calling merge).
+
+        ``mode="defer"`` is the **merge-on-read** path (Iceberg MOR
+        analogue): the collapsed per-key winners are APPENDED as delta files
+        — epoch cost is O(batch), never O(dirty buckets) — and readers
+        LWW-collapse base ∪ deltas at scan time (see ``_read_buckets``).
+        Deltas fold back into the base the next time a rewrite-mode merge,
+        ``purge_tombstones`` or :meth:`compact` touches their bucket. Use
+        defer for update-heavy ingest bursts, rewrite (default) for
+        read-optimized steady state; exactly-once, LWW and tombstone
+        semantics are identical in both modes.
         """
+        if mode not in ("rewrite", "defer"):
+            raise ValueError(f"unknown merge mode: {mode!r}")
         t0 = time.time()
         manifest = self.manifest()
         if epoch_id is not None and int(manifest["epochs"].get(stream_id, -1)) >= epoch_id:
@@ -488,6 +539,67 @@ class LakeTable:
             dirty = sorted(
                 int(r[BUCKET_COL]) for r in winner_keys.select(BUCKET_COL).distinct().collect()
             )
+
+            if mode == "defer":
+                # Bound read amplification: once a dirty bucket has
+                # accumulated compact_files_per_bucket pending deltas, this
+                # epoch pays the rewrite (folding them) instead of deferring.
+                pending = manifest.get("deltas", {})
+                max_pending = max(
+                    (len(pending.get(str(b), [])) for b in dirty), default=0
+                )
+                if max_pending >= compact_files_per_bucket:
+                    mode = "rewrite"
+
+            if mode == "defer":
+                # Merge-on-read: append collapsed winners as delta files and
+                # commit; the target is never read, so epoch cost is O(batch).
+                collapsed = src_winners if plan_b else src_winners.dropDuplicates(keys)
+                new_version = int(manifest["version"]) + 1
+                out_dir = os.path.join(self.root, "data", f"v{new_version}")
+                (
+                    collapsed.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
+                    .write.partitionBy(BUCKET_COL)
+                    .mode("overwrite")
+                    .parquet(out_dir)
+                )
+                written = {
+                    int(name.split("=", 1)[1])
+                    for name in os.listdir(out_dir)
+                    if name.startswith(f"{BUCKET_COL}=")
+                }
+                delta_map = {
+                    b: list(vs) for b, vs in manifest.get("deltas", {}).items()
+                }
+                for b in sorted(written):
+                    delta_map.setdefault(str(b), []).append(new_version)
+                self._write_manifest(
+                    {
+                        **manifest,
+                        "version": new_version,
+                        "deltas": delta_map,
+                        "epochs": {**manifest["epochs"]}
+                        if epoch_id is None
+                        else {**manifest["epochs"], stream_id: epoch_id},
+                        "schema": new_schema_json or manifest["schema"],
+                        "summary": {
+                            "committed_at_ms": int(time.time() * 1000),
+                            "source_rows": src_rows,
+                            "dirty_buckets": len(dirty),
+                            "mode": "defer",
+                        },
+                    }
+                )
+                return MergeStats(
+                    epoch_id=epoch_id,
+                    skipped=False,
+                    source_rows=src_rows,
+                    dirty_buckets=len(dirty),
+                    total_buckets=len(manifest["buckets"]),
+                    schema_added_columns=added,
+                    seconds=time.time() - t0,
+                    lineage=lineage,
+                )
 
             target = self._read_buckets(manifest, dirty)
             if target is not None:
@@ -611,10 +723,18 @@ class LakeTable:
                 buckets[str(b)] = new_version
             else:
                 buckets.pop(str(b), None)  # bucket fully deleted
+        # A rewrite folds any pending deltas of its dirty buckets into the
+        # new base files (the target was delta-collapsed by _read_buckets).
+        delta_map = {
+            b: list(vs)
+            for b, vs in manifest.get("deltas", {}).items()
+            if int(b) not in set(dirty)
+        }
         new_manifest = {
             **manifest,
             "version": new_version,
             "buckets": buckets,
+            "deltas": delta_map,
             "epochs": {**manifest["epochs"]}
             if epoch_id is None
             else {**manifest["epochs"], stream_id: epoch_id},
@@ -636,6 +756,62 @@ class LakeTable:
             seconds=time.time() - t0,
             lineage=lineage,
         )
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def compact(self, buckets: list[int] | None = None) -> int:
+        """Fold pending merge-on-read deltas into fresh base files.
+
+        The standalone Iceberg ``rewrite_data_files`` analogue for
+        ``merge(mode="defer")`` tables: every bucket with pending deltas
+        (or the given subset) is read delta-collapsed and rewritten as one
+        file in a new snapshot; the manifest drops the folded delta refs.
+        Returns the number of buckets compacted. Run it between ingest
+        bursts to restore scan-only reads.
+        """
+        manifest = self.manifest()
+        pending = manifest.get("deltas", {})
+        todo = sorted(
+            int(b) for b in pending if buckets is None or int(b) in set(buckets)
+        )
+        if not todo:
+            return 0
+        folded = self._read_buckets(manifest, todo)
+        new_version = int(manifest["version"]) + 1
+        out_dir = os.path.join(self.root, "data", f"v{new_version}")
+        (
+            folded.repartition(len(todo), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(out_dir)
+            if name.startswith(f"{BUCKET_COL}=")
+        }
+        bmap = dict(manifest["buckets"])
+        for b in todo:
+            if b in written:
+                bmap[str(b)] = new_version
+            else:
+                bmap.pop(str(b), None)
+        self._write_manifest(
+            {
+                **manifest,
+                "version": new_version,
+                "buckets": bmap,
+                "deltas": {
+                    b: list(vs) for b, vs in pending.items() if int(b) not in set(todo)
+                },
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "compacted_buckets": len(todo),
+                },
+            }
+        )
+        return len(todo)
 
     # ------------------------------------------------------------------
     # retention
@@ -664,7 +840,11 @@ class LakeTable:
         retained = [v for v in versions if v > current - keep_last]
         live_data: set[int] = set()
         for v in retained:
-            live_data.update(int(dv) for dv in self.manifest(v)["buckets"].values())
+            m = self.manifest(v)
+            live_data.update(int(dv) for dv in m["buckets"].values())
+            # pending merge-on-read delta dirs are live data too
+            for vs in m.get("deltas", {}).values():
+                live_data.update(int(dv) for dv in vs)
         data_dir = os.path.join(self.root, "data")
         removed_data = 0
         for name in sorted(os.listdir(data_dir)):
@@ -730,6 +910,13 @@ class LakeTable:
                 **manifest,
                 "version": new_version,
                 "buckets": buckets,
+                # rewritten buckets absorbed their pending deltas (the read
+                # above was delta-collapsed)
+                "deltas": {
+                    b: list(vs)
+                    for b, vs in manifest.get("deltas", {}).items()
+                    if int(b) not in set(dirty)
+                },
                 "summary": {
                     "committed_at_ms": int(time.time() * 1000),
                     "purged_below_lsn": below_lsn,
