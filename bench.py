@@ -236,6 +236,28 @@ def host_cpu_ceiling(low: int, high: int) -> float:
     return totals[high] / ((high / low) * totals[low])
 
 
+def _wait_spark_teardown(timeout_s: float = 20.0) -> None:
+    """Let executor JVMs exit and tmpfs shuffle dirs finish freeing before
+    the post-epoch noise probe — local-cluster teardown (4 dying JVMs +
+    page-freeing of hundreds of MB of shuffle files) otherwise crushes the
+    probe and misclassifies FAST epochs as noisy."""
+    import subprocess
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        try:
+            out = subprocess.run(
+                ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+        except OSError:
+            break
+        if not out:
+            break
+        time.sleep(1)
+    time.sleep(2)  # settle page-freeing
+
+
 def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "threads") -> dict:
     """Large compute-dominated epochs for the N->4N criterion.
 
@@ -304,6 +326,7 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "thre
             st = apply_batch(table, batch, epoch_id=rnd, stream_id="scale")
             dt = time.time() - t0
             spark.stop()
+            _wait_spark_teardown()
             post = probe_rate()
             ok = min(pre, post) >= 0.8 * _BEST_PROBE
             rates[cores].append((dt, st.source_rows))
