@@ -498,7 +498,7 @@ class LakeTable:
             src_rows = int(sum(r["count"] for r in probe))
             src = src.drop(lineage_col)
         else:
-            src_rows = int(src.count())
+            src_rows = -1  # derived for free from the winner agg below
 
         # Collapse the source to its per-key LWW winners. Two physical plans:
         #
@@ -520,10 +520,24 @@ class LakeTable:
         #     survive plan (a)'s join; the final LWW agg below collapses them
         #     identically in both plans.
         pay_src = [c for c in src.columns if c not in keys]
-        winner_keys = (
-            src.groupBy(*keys, BUCKET_COL).agg(F.max(LSN_COL).alias(LSN_COL)).persist()
+        winner_counts = (
+            src.groupBy(*keys, BUCKET_COL)
+            .agg(F.max(LSN_COL).alias(LSN_COL), F.count(F.lit(1)).alias("__cnt"))
+            .persist()
         )
-        plan_b = winner_keys.count() > broadcast_key_limit
+        # ONE driver action yields the touched-bucket set, the winner-key
+        # count AND the batch row count (epochs are driver-latency-sensitive:
+        # each extra job is a serial round trip that 4x cores cannot shrink).
+        bucket_counts = (
+            winner_counts.groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("__cnt").alias("n_events"))
+            .collect()
+        )
+        winner_keys = winner_counts.drop("__cnt")
+        n_winner_keys = int(sum(r["n_keys"] for r in bucket_counts))
+        if src_rows < 0:
+            src_rows = int(sum(r["n_events"] for r in bucket_counts))
+        plan_b = n_winner_keys > broadcast_key_limit
         if plan_b:
             src_winners = (
                 src.groupBy(*keys)
@@ -536,9 +550,7 @@ class LakeTable:
                 F.broadcast(winner_keys.select(*keys, LSN_COL)), [*keys, LSN_COL], "inner"
             )
         try:
-            dirty = sorted(
-                int(r[BUCKET_COL]) for r in winner_keys.select(BUCKET_COL).distinct().collect()
-            )
+            dirty = sorted(int(r[BUCKET_COL]) for r in bucket_counts)
 
             if mode == "defer":
                 # Bound read amplification: once a dirty bucket has
@@ -708,7 +720,7 @@ class LakeTable:
         finally:
             # unpersist on every exit path -- a write/schema failure must
             # not leak the cached winners for the session's lifetime
-            winner_keys.unpersist()
+            winner_counts.unpersist()
             if plan_b:
                 src_winners.unpersist()
         written = {
