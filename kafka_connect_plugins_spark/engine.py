@@ -72,8 +72,13 @@ def apply_batch(
     epoch_id: int | None = None,
     stream_id: str = "default",
     pipeline: Pipeline | None = None,
+    merge_mode: str = "rewrite",
 ) -> MergeStats:
-    """Run one microbatch of envelope events through the chain into the table."""
+    """Run one microbatch of envelope events through the chain into the table.
+
+    ``merge_mode="defer"`` appends merge-on-read deltas instead of rewriting
+    dirty buckets (see LakeTable.merge) — for update-heavy ingest bursts.
+    """
     chain = pipeline if pipeline is not None else cdc_transform_chain()
     transformed = chain.apply(events)
     source = events_to_merge_source(transformed)
@@ -84,6 +89,7 @@ def apply_batch(
         epoch_id=epoch_id,
         stream_id=stream_id,
         lineage_col="_src_partition",
+        mode=merge_mode,
     )
 
 

@@ -69,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--metrics", default=None, help="metrics JSONL path (default <table>/_metrics)")
     p.add_argument("--demo", action="store_true", help="self-contained local demo run")
+    p.add_argument(
+        "--merge-mode", choices=("rewrite", "defer"), default="rewrite",
+        help="defer = merge-on-read: append winner deltas (O(batch) epochs), "
+             "readers collapse; fold with --compact or on the next rewrite",
+    )
+    p.add_argument("--compact", action="store_true",
+                   help="maintenance: fold pending merge-on-read deltas, then exit")
+    p.add_argument("--expire-keep", type=int, default=None,
+                   help="maintenance: expire all but the newest N snapshots, then exit")
     args = p.parse_args(argv)
 
     from kafka_connect_plugins_spark.engine import create_repo_table
@@ -99,8 +108,19 @@ def main(argv: list[str] | None = None) -> int:
     else:
         table = LakeTable.load(spark, args.table)
 
+    if args.compact or args.expire_keep is not None:
+        out = {}
+        if args.compact:
+            out["compacted_buckets"] = table.compact()
+        if args.expire_keep is not None:
+            out.update(table.expire_snapshots(keep_last=args.expire_keep))
+        print(json.dumps(out))
+        return 0
+
     metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
-    ingest = StreamingIngest(table, stream_id=args.stream_id, metrics=metrics)
+    ingest = StreamingIngest(
+        table, stream_id=args.stream_id, metrics=metrics, merge_mode=args.merge_mode
+    )
 
     if args.available_now:
         stats = ingest.run_available(spark, args.events, args.checkpoint)

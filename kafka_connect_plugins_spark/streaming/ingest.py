@@ -19,9 +19,11 @@ connector and an upsert sink (reference README.md:26-31). The moving parts:
   LSN high-watermarks) via :class:`MetricsLog`; optional Spark
   ``StreamingQueryListener`` progress capture.
 
-Watermarks/stateful operators are deliberately absent: like the reference,
-the pipeline is stateless per record; late and duplicate data are handled by
-the LWW-on-LSN merge, which is order-insensitive (SURVEY.md §2.2).
+The ingest chain itself is stateless per record (like the reference); late
+and duplicate data are handled by the LWW-on-LSN merge, which is
+order-insensitive (SURVEY.md §2.2). Stateful streaming operators live in
+``streaming/stateful.py`` (watermarked windowed aggregation,
+``applyInPandasWithState`` LSN dedup) and compose upstream of this sink.
 """
 
 from __future__ import annotations
@@ -76,6 +78,7 @@ class StreamingIngest:
         stream_id: str = "stream",
         metrics: MetricsLog | None = None,
         dlq_dir: str | None = None,
+        merge_mode: str = "rewrite",
     ):
         self.table = table
         self.pipeline = pipeline
@@ -86,6 +89,7 @@ class StreamingIngest:
         # here as parquet (partitioned by epoch) instead of failing the
         # query — see Pipeline.apply_with_dlq.
         self.dlq_dir = dlq_dir
+        self.merge_mode = merge_mode
         self.epoch_stats: list[MergeStats] = []
 
     # foreachBatch body — runs on the driver once per microbatch.
@@ -107,6 +111,7 @@ class StreamingIngest:
             epoch_id=int(epoch_id),
             stream_id=self.stream_id,
             pipeline=pipeline,
+            merge_mode=self.merge_mode,
         )
         self.epoch_stats.append(stats)
         if self.metrics is not None:
