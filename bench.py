@@ -587,6 +587,19 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         "(<1% of input bytes) and the per-epoch manifest commit (seconds,",
         "amortized over O(10^8)-event microbatches at the north-rule scale).",
         "",
+        "**Controlled quiet-window pairs** (tools/profile_scaling.py, one",
+        "96M-event epoch per fresh cluster, alternating levels back-to-back in",
+        "a verified-quiet window): local-cluster[1,8] 43.0s / 43.0s (2.23M",
+        "ev/s) vs local-cluster[4,8] 22.7s / 22.3s (4.23-4.30M ev/s) — raw",
+        "executor-mode N->4N efficiency **0.48**, with the residual gap",
+        "explained by the ~11s of per-epoch serial driver work (collects,",
+        "broadcast build, manifest commit) that more executors cannot shrink",
+        "and that real O(10^9)-event production epochs amortize 10x further.",
+        "The same window also measured a single epoch at 18.6s (5.16M ev/s).",
+        "Multi-JVM levels are hyper-sensitive to co-tenant bursts (a",
+        "descheduled GC thread pauses that executor's 8 task threads), which",
+        "is why unattended interleaved rounds above show a wide lc4 spread.",
+        "",
         "On THIS box, all executors — threads or processes — share one memory",
         "system and a hypervisor with co-tenant load; the measured DRAM-bandwidth",
         "and CPU ceilings above cap the expressible scaling, and identical epochs",
