@@ -12,6 +12,8 @@ is the tombstone encoding.
 
 from __future__ import annotations
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Outer envelope fields, in canonical order. `value` is appended by callers
@@ -22,8 +24,62 @@ ENVELOPE_FIELDS = [
     T.StructField("offset", T.LongType(), False),  # commit-LSN, monotonic per (topic, partition)
     T.StructField("timestamp", T.LongType(), True),  # epoch millis
     T.StructField("key", T.StringType(), True),
+    # Kafka headers are an ordered MULTI-map (a record may carry duplicate
+    # keys); the reference only ever reads headers().lastWithName(key)
+    # (ModifyPartition.kt:36) — last-wins. A map column collapses duplicates
+    # to exactly the last value, so every operator's OBSERVABLE semantics
+    # match the reference, but the envelope cannot round-trip the full
+    # multi-valued list. Sources that must preserve it should carry an
+    # additional array<struct<key,value>> column and read it through
+    # :func:`last_with_name`, which implements the same accessor over either
+    # shape.
     T.StructField("headers", T.MapType(T.StringType(), T.StringType(), True), True),
 ]
+
+# Header-list shape for sources that must round-trip duplicate keys.
+HEADER_LIST_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("value", T.StringType(), True),
+        ]
+    )
+)
+
+
+def last_with_name(headers: Column, key: str) -> Column:
+    """Kafka's ``Headers.lastWithName(key)`` over an
+    ``array<struct<key,value>>`` header list (ModifyPartition.kt:36): the
+    LAST entry with the given key, NULL when absent — native Column
+    expressions, no UDF. (For the envelope's map shape, a plain
+    ``headers[key]`` lookup is already last-wins, because map construction
+    kept the last duplicate.)
+    """
+    return F.try_element_at(
+        F.filter(headers, lambda h: h["key"] == F.lit(key)), F.lit(-1)
+    )["value"]
+
+
+def header_list_to_map(headers: Column) -> Column:
+    """Collapse an ``array<struct<key,value>>`` header list into the
+    envelope's map shape with Kafka's last-wins duplicate semantics —
+    independent of ``spark.sql.mapKeyDedupPolicy`` (whose default EXCEPTION
+    would fail on duplicates, and whose LAST_WIN is a session-global knob
+    this library must not depend on). Distinct keys are extracted first, so
+    ``map_from_entries`` never sees a duplicate.
+    """
+    distinct_keys = F.array_distinct(F.transform(headers, lambda h: h["key"]))
+    return F.map_from_entries(
+        F.transform(
+            distinct_keys,
+            lambda k: F.struct(
+                k.alias("key"),
+                F.try_element_at(
+                    F.filter(headers, lambda h: h["key"] == k), F.lit(-1)
+                )["value"].alias("value"),
+            ),
+        )
+    )
 
 METADATA_PARTITION = "_kafka_metadata_partition"
 METADATA_OFFSET = "_kafka_metadata_offset"

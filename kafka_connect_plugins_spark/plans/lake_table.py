@@ -56,6 +56,9 @@ LSN_COL = "_lsn"
 TOMBSTONE_COL = "_tombstone"
 BUCKET_COL = "_bucket"
 _RESERVED = {LSN_COL, TOMBSTONE_COL, BUCKET_COL}
+# The equal-LSN tiebreak packs lsn*2+src into one long (see merge()); LSNs at
+# or above 2**62 would overflow the packing silently.
+_LSN_DOMAIN_MAX = 1 << 62
 
 
 @dataclass
@@ -381,14 +384,18 @@ class LakeTable:
         single file. Driver-side listing of <= len(dirty) directories.
         """
         worst = 0
+        deltas = manifest.get("deltas", {})
         for b in dirty:
+            # Pending merge-on-read delta versions are extra files a reader
+            # must collapse — they count toward the bucket's file budget just
+            # like base files (each delta version contributes >= 1 file).
+            n = len(deltas.get(str(b), []))
             v = manifest["buckets"].get(str(b))
-            if v is None:
-                continue
-            bdir = os.path.join(self.root, "data", f"v{int(v)}", f"{BUCKET_COL}={b}")
-            if os.path.isdir(bdir):
-                n = sum(1 for f_ in os.listdir(bdir) if f_.endswith(".parquet"))
-                worst = max(worst, n)
+            if v is not None:
+                bdir = os.path.join(self.root, "data", f"v{int(v)}", f"{BUCKET_COL}={b}")
+                if os.path.isdir(bdir):
+                    n += sum(1 for f_ in os.listdir(bdir) if f_.endswith(".parquet"))
+            worst = max(worst, n)
         return worst
 
     # ------------------------------------------------------------------
@@ -430,6 +437,16 @@ class LakeTable:
         be a total order per key (a global offset, or pack
         ``(partition_epoch << k) | offset`` for multi-partition logs before
         calling merge).
+
+        **LSN domain**: ``0 <= lsn < 2**62``. The equal-LSN source-wins
+        tiebreak packs ``lsn * 2 + source_flag`` into one long so the LWW
+        ordering stays a plain column inside whole-stage codegen (a struct
+        ordering drops to an interpreted comparator, measured 5-12x slower);
+        a batch whose max LSN is outside the domain raises rather than
+        silently overflowing. **NULL keys** are legal: all merge joins use
+        null-safe (struct-wrapped) key equality, so a NULL key column
+        upserts like any other value in every plan (broadcast join-back,
+        union+LWW, and merge-on-read defer).
 
         ``mode="defer"`` is the **merge-on-read** path (Iceberg MOR
         analogue): the collapsed per-key winners are APPENDED as delta files
@@ -522,21 +539,56 @@ class LakeTable:
         pay_src = [c for c in src.columns if c not in keys]
         winner_counts = (
             src.groupBy(*keys, BUCKET_COL)
-            .agg(F.max(LSN_COL).alias(LSN_COL), F.count(F.lit(1)).alias("__cnt"))
+            .agg(
+                F.max(LSN_COL).alias(LSN_COL),
+                F.count(F.lit(1)).alias("__cnt"),
+                # count(col) skips NULLs: __cnt - __cnt_lsn = null-LSN rows,
+                # guarded below (a NULL log position has no LWW meaning)
+                F.count(F.col(LSN_COL)).alias("__cnt_lsn"),
+            )
             .persist()
         )
         # ONE driver action yields the touched-bucket set, the winner-key
-        # count AND the batch row count (epochs are driver-latency-sensitive:
-        # each extra job is a serial round trip that 4x cores cannot shrink).
+        # count, the batch row count AND the LSN high watermark (epochs are
+        # driver-latency-sensitive: each extra job is a serial round trip
+        # that 4x cores cannot shrink).
         bucket_counts = (
             winner_counts.groupBy(BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("__cnt").alias("n_events"))
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("__cnt").alias("n_events"),
+                F.sum("__cnt_lsn").alias("n_events_lsn"),
+                F.max(LSN_COL).alias("max_lsn"),
+            )
             .collect()
         )
-        winner_keys = winner_counts.drop("__cnt")
+        winner_keys = winner_counts.drop("__cnt", "__cnt_lsn")
         n_winner_keys = int(sum(r["n_keys"] for r in bucket_counts))
         if src_rows < 0:
             src_rows = int(sum(r["n_events"] for r in bucket_counts))
+        n_null_lsn = int(
+            sum(r["n_events"] - r["n_events_lsn"] for r in bucket_counts)
+        )
+        max_lsn_seen = max(
+            (r["max_lsn"] for r in bucket_counts if r["max_lsn"] is not None),
+            default=None,
+        )
+        if n_null_lsn or (
+            max_lsn_seen is not None and max_lsn_seen >= _LSN_DOMAIN_MAX
+        ):
+            winner_counts.unpersist()
+            if n_null_lsn:
+                raise ValueError(
+                    f"{n_null_lsn} source row(s) have a NULL LSN — a NULL log "
+                    f"position has no last-writer-wins meaning; assign every "
+                    f"event a position in [0, 2**62) before merging"
+                )
+            raise ValueError(
+                f"LSN {max_lsn_seen} is outside the supported domain "
+                f"[0, 2**62): the equal-LSN tiebreak packs lsn*2+src into one "
+                f"long (see merge() docstring); re-scale or re-pack the log "
+                f"position before merging"
+            )
         plan_b = n_winner_keys > broadcast_key_limit
         if plan_b:
             src_winners = (
@@ -546,8 +598,17 @@ class LakeTable:
                 .persist()
             )
         else:
-            src_winners = src.join(
-                F.broadcast(winner_keys.select(*keys, LSN_COL)), [*keys, LSN_COL], "inner"
+            # Null-safe join-back: a plain column-name equi-join drops rows
+            # whose key (or LSN) is NULL — plan-dependent data loss for the
+            # engine's own null-path tombstone keys. Wrapping (keys, lsn) in
+            # one struct makes the equality null-safe (struct field
+            # comparison treats NULL == NULL) while staying a
+            # BroadcastHashJoin on the struct column.
+            wk_jkl = winner_keys.select(F.struct(*keys, LSN_COL).alias("__jkl"))
+            src_winners = (
+                src.withColumn("__jkl", F.struct(*keys, LSN_COL))
+                .join(F.broadcast(wk_jkl), "__jkl", "inner")
+                .drop("__jkl")
             )
         try:
             dirty = sorted(int(r[BUCKET_COL]) for r in bucket_counts)
@@ -654,7 +715,14 @@ class LakeTable:
             #     spark.sql.objectHashAggregate.sortBased.fallbackThreshold
             #     (default 128 keys => every epoch silently sorts; see
             #     main.build_session).
-            compact = plan_b or self._max_files_per_dirty_bucket(
+            # A delta-collapsed target already pays a key-hash aggregation in
+            # _read_buckets, scattering carried rows across shuffle
+            # partitions — force the compacting repartition then, or a bucket
+            # gains up to shuffle-partitions small files in one epoch.
+            has_deltas = any(
+                manifest.get("deltas", {}).get(str(b)) for b in dirty
+            )
+            compact = plan_b or has_deltas or self._max_files_per_dirty_bucket(
                 manifest, dirty
             ) >= compact_files_per_bucket
             if not plan_b:
@@ -662,24 +730,32 @@ class LakeTable:
                 # collapse them (tiny: one shuffle of the winner rows only)
                 src_winners = src_winners.dropDuplicates(keys)
                 if target is not None:
+                    # Struct-wrapped keys: null-safe equality (NULL keys must
+                    # match their own winner entry — see the join-back above),
+                    # still a BroadcastHashJoin.
                     wk = winner_keys.select(
-                        *keys, F.col(LSN_COL).alias("__w_lsn")
+                        F.struct(*keys).alias("__jk"), F.col(LSN_COL).alias("__w_lsn")
                     )
                     carried = (
-                        target.join(F.broadcast(wk), keys, "left")
+                        target.withColumn("__jk", F.struct(*keys))
+                        .join(F.broadcast(wk), "__jk", "left")
                         .filter(
                             F.col("__w_lsn").isNull()
                             | (F.col("__w_lsn") < F.col(LSN_COL))
                         )
-                        .drop("__w_lsn")
+                        .drop("__jk", "__w_lsn")
                     )
                     stale = (
-                        target.select(*keys, LSN_COL)
-                        .join(F.broadcast(wk), keys, "inner")
+                        target.select(F.struct(*keys).alias("__jk"), F.col(LSN_COL))
+                        .join(F.broadcast(wk), "__jk", "inner")
                         .filter(F.col(LSN_COL) > F.col("__w_lsn"))
-                        .select(*keys)
+                        .select("__jk")
                     )
-                    fresh = src_winners.join(F.broadcast(stale), keys, "left_anti")
+                    fresh = (
+                        src_winners.withColumn("__jk", F.struct(*keys))
+                        .join(F.broadcast(stale), "__jk", "left_anti")
+                        .drop("__jk")
+                    )
                     live = carried.unionByName(
                         fresh if compact else fresh.repartition(
                             max(len(dirty), 1), F.col(BUCKET_COL)

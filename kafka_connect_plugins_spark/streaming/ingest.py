@@ -94,17 +94,33 @@ class StreamingIngest:
 
     # foreachBatch body — runs on the driver once per microbatch.
     def _apply(self, batch: DataFrame, epoch_id: int) -> None:
+        if self.table.last_epoch(self.stream_id) >= int(epoch_id):
+            # Replay of an already-committed batch (restart after the
+            # manifest swap): the merge's epoch guard would skip it anyway,
+            # but the DLQ append is NOT inside that atomic swap — re-running
+            # the pipeline here would duplicate DLQ rows. Skip everything.
+            # (If the merge itself fails and the batch retries, the epoch is
+            # uncommitted and the DLQ append DOES re-run: DLQ output is
+            # at-least-once, keyed by _dlq_epoch for downstream dedup.)
+            stats = MergeStats(epoch_id=int(epoch_id), skipped=True)
+            self.epoch_stats.append(stats)
+            if self.metrics is not None:
+                self.metrics.record(self.stream_id, stats)
+            return
         pipeline = self.pipeline
         if self.dlq_dir is not None and pipeline is not None:
             from pyspark.sql import functions as F
 
             batch, dlq = pipeline.apply_with_dlq(batch)
             pipeline = Pipeline([])  # chain already applied
-            (
-                dlq.withColumn("_dlq_epoch", F.lit(int(epoch_id)))
-                .write.mode("append")
-                .parquet(self.dlq_dir)
-            )
+            # isEmpty is a limit-1 probe job: clean epochs skip the write
+            # entirely instead of appending empty part files every batch.
+            if not dlq.isEmpty():
+                (
+                    dlq.withColumn("_dlq_epoch", F.lit(int(epoch_id)))
+                    .write.mode("append")
+                    .parquet(self.dlq_dir)
+                )
         stats = apply_batch(
             self.table,
             batch,

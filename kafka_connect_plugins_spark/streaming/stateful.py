@@ -95,7 +95,13 @@ def streaming_lww_dedup(
     ) -> Iterator[pd.DataFrame]:
         max_lsn = state.get[0] if state.exists else None
         for pdf in pdfs:
-            pdf = pdf.sort_values(lsn_col, kind="stable")
+            # keep='last' drops in-chunk duplicate deliveries of the same
+            # LSN — without it, copies arriving within one chunk all pass
+            # (each is strictly above the PRIOR watermark), violating the
+            # "suppress already-seen LSNs" contract when used standalone.
+            pdf = pdf.sort_values(lsn_col, kind="stable").drop_duplicates(
+                subset=[lsn_col], keep="last"
+            )
             if max_lsn is not None:
                 pdf = pdf[pdf[lsn_col] > max_lsn]
             if len(pdf):
