@@ -416,9 +416,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10: query vecs (vec_id < 5) vs the rest.
 
-    Broadcast the tiny query side; dot products via zip_with/aggregate in
-    double precision — the plan 1000 executors would run (candidate side
-    stays partitioned; no shuffle until the per-query top-k)."""
+    Broadcast the tiny query side; per-pair dot products run as one NumPy
+    matmul per Arrow batch (operators/similarity.np_dot) — the plan 1000
+    executors would run (candidate side stays partitioned; no shuffle until
+    the per-query top-k)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )
@@ -428,21 +429,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
     )
-    dot = "aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    nq = "sqrt(aggregate(transform(qe, x -> x * x), 0D, (acc, x) -> acc + x))"
-    nc = "sqrt(aggregate(transform(ce, x -> x * x), 0D, (acc, x) -> acc + x))"
-    sims = c.crossJoin(F.broadcast(q)).withColumn("sim", F.expr(f"{dot} / ({nq} * {nc})"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.round(F.col("sim"), 6).alias("sim_r"),
-        )
-    )
+    return similarity.brute_force_topk(q, c, k=10)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,12 +524,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("n", similarity.l2_norm(F.col("e")))  # norm once per ROW, not per pair
+    ).withColumn("n", similarity.np_l2_norm(F.col("e")))  # norm once per ROW, not per pair
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id")))
         .withColumn(
-            "sim", similarity.dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n"))
+            "sim", similarity.np_dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n"))
         )
         .filter(F.col("sim") >= 0.35)
         .select(
@@ -569,18 +556,22 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key. Fewer planes than ann_lsh (6 vs 8) => bigger buckets => higher
     recall for the pair-mining use case.
     """
-    from kafka_connect_plugins_spark.operators.similarity import dot, l2_norm, rhp_bucket
+    from kafka_connect_plugins_spark.operators.similarity import (
+        np_dot,
+        np_l2_norm,
+        rhp_bucket,
+    )
     from kafka_connect_plugins_spark.plans.parallelism import spread
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("bucket", rhp_bucket(F.col("e"), 6, EMB_DIM)).withColumn(
-        "n", l2_norm(F.col("e"))  # norm once per ROW, not per pair
+        "n", np_l2_norm(F.col("e"))  # norm once per ROW, not per pair
     )
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
-        .withColumn("sim", dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
+        .withColumn("sim", np_dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
         .filter(F.col("sim") >= 0.3)
         .select(
             F.col("l.vec_id").alias("id_a"),
