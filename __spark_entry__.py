@@ -658,6 +658,83 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media).select("media_id", "kind", "n_bytes", "sha256", "magic")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-gated: per-key LSN
+    high-watermark dedup (``applyInPandasWithState``,
+    streaming/stateful.py:streaming_lww_dedup) driven over a REAL
+    multi-microbatch file-source replay with duplicate re-deliveries.
+
+    The emitted set depends on how the file source cuts microbatches, but
+    its per-key LWW collapse is batch-boundary-INVARIANT: the dedup can
+    never drop a key's max-LSN event (nothing outranks it), so
+    ``LWW(emitted) == LWW(input)`` — which the DuckDB oracle states
+    directly over the events table. Duplicate deliveries (every 5th event
+    re-sent) exercise the suppression path.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_plugins_spark.envelope import envelope_schema
+    from kafka_connect_plugins_spark.streaming.stateful import streaming_lww_dedup
+
+    env = _events_envelope(spark, sf_dir)
+    log = env.unionAll(env.filter(F.col("offset") % 5 == 0))  # re-deliveries
+    tmp = tempfile.mkdtemp(prefix="kcp_streaming_dedup_")
+    src_dir, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    # several files -> several microbatches under maxFilesPerTrigger
+    log.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    value_t = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", env.schema["value"].dataType["value"].dataType),
+            T.StructField("props", T.StringType()),
+            T.StructField("deleted_at", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(envelope_schema(value_t))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        streaming_lww_dedup(stream, key_cols=["key"], lsn_col="offset")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError("streaming dedup did not drain")
+    if query.exception() is not None:
+        raise query.exception()
+    emitted = spark.table(qname)
+    pay = F.struct(
+        F.col("offset"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.value").alias("value"),
+        F.col("value.props").alias("props"),
+    )
+    return (
+        emitted.groupBy("key")
+        .agg(F.max_by(pay, F.col("offset")).alias("__w"))
+        .select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("__w.offset").alias("last_lsn"),
+            F.col("__w.event_type").alias("last_event_type"),
+            F.col("__w.value").alias("last_value"),
+            F.col("__w.props").alias("last_props"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unquote_record_key": q_unquote_record_key,
@@ -691,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "windowed_counts": q_windowed_counts,
         "sliding_counts": q_sliding_counts,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1084,6 +1162,17 @@ def oracle_sql() -> dict[str, str]:
                   SELECT m - 60 AS window_start_sec, topic FROM b)
             SELECT window_start_sec, topic, count(*) AS n_events
             FROM w GROUP BY 1, 2
+        """,
+        "streaming_dedup": """
+            SELECT user_id,
+                   event_id AS last_lsn,
+                   event_type AS last_event_type,
+                   value AS last_value,
+                   props AS last_props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
     }
 

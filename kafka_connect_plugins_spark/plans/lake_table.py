@@ -74,6 +74,11 @@ class MergeStats:
     # Per-source-partition lineage: {partition: {"events": n, "max_lsn": m}}.
     # The CDC log-position record — filled when merge() gets lineage_col.
     lineage: dict = field(default_factory=dict)
+    # Wall time per merge phase: {"stats": narrow agg + one collect,
+    # "write": the data write job (includes the broadcast build),
+    # "commit": manifest swap + output listing}. The driver-serial share of
+    # an epoch is everything except the write job's parallel portion.
+    phases: dict = field(default_factory=dict)
 
 
 class SchemaEvolutionError(TypeError):
@@ -490,32 +495,22 @@ class LakeTable:
         )
         new_schema_json, added = self._evolve_schema(manifest, incoming)
 
+        # __h is the 64-bit key hash: it derives the bucket AND serves as the
+        # cheap probe key of plan (a)'s winner prefilter (hashing/comparing
+        # one long per row instead of the string key columns — measured ~2x
+        # on the wide pass). It is bookkeeping only, never written.
         src = src.withColumn(
-            BUCKET_COL, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
-        )
+            "__h", F.xxhash64(*[F.col(k) for k in keys])
+        ).withColumn(BUCKET_COL, F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
 
-        # Lineage / row-count probe. This pass touches ONLY (lineage, lsn) —
-        # Parquet column pruning means it never decodes keys or payload (the
-        # content column dominates the batch's bytes), so it costs a small
-        # fraction of the merge scan. Grouping is per source partition
-        # (<= a few hundred groups): event count + LSN high-watermark, the
-        # CDC log-position record.
-        lineage: dict[int, dict[str, int]] = {}
-        if lineage_col is not None:
-            probe = (
-                src.groupBy(lineage_col)
-                .agg(F.count(F.lit(1)).alias("count"), F.max(LSN_COL).alias("max_lsn"))
-                .collect()
-            )
-            for r in probe:
-                lineage[r[lineage_col]] = {
-                    "events": int(r["count"]),
-                    "max_lsn": int(r["max_lsn"]),
-                }
-            src_rows = int(sum(r["count"] for r in probe))
-            src = src.drop(lineage_col)
-        else:
-            src_rows = -1  # derived for free from the winner agg below
+        # Lineage (per-source-partition event count + LSN high watermark, the
+        # CDC log-position record) is folded into the winner aggregation
+        # below: adding the lineage column to the narrow agg's grouping keys
+        # costs nothing when a key maps to one log partition (the engine's
+        # case) and avoids what used to be a SECOND full scan of the batch —
+        # epochs are driver-latency-sensitive, and a whole extra scan+collect
+        # per epoch is serial time 4x cores cannot shrink.
+        lineage: dict = {}
 
         # Collapse the source to its per-key LWW winners. Two physical plans:
         #
@@ -536,9 +531,10 @@ class LakeTable:
         #     the exchange at one row per key per task. Equal-LSN duplicates
         #     survive plan (a)'s join; the final LWW agg below collapses them
         #     identically in both plans.
-        pay_src = [c for c in src.columns if c not in keys]
+        lineage_grouped = lineage_col is not None
+        group_cols = [*keys, BUCKET_COL] + ([lineage_col] if lineage_grouped else [])
         winner_counts = (
-            src.groupBy(*keys, BUCKET_COL)
+            src.groupBy(*group_cols)
             .agg(
                 F.max(LSN_COL).alias(LSN_COL),
                 F.count(F.lit(1)).alias("__cnt"),
@@ -548,24 +544,43 @@ class LakeTable:
             )
             .persist()
         )
-        # ONE driver action yields the touched-bucket set, the winner-key
-        # count, the batch row count AND the LSN high watermark (epochs are
-        # driver-latency-sensitive: each extra job is a serial round trip
-        # that 4x cores cannot shrink).
-        bucket_counts = (
-            winner_counts.groupBy(BUCKET_COL)
-            .agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.sum("__cnt").alias("n_events"),
-                F.sum("__cnt_lsn").alias("n_events_lsn"),
-                F.max(LSN_COL).alias("max_lsn"),
+        # ONE driver action (a grouping-sets pass over the cached narrow agg)
+        # yields the touched-bucket set, the winner-key count, the batch row
+        # count, the LSN high watermark AND the per-partition lineage
+        # (epochs are driver-latency-sensitive: each extra job is a serial
+        # round trip that 4x cores cannot shrink).
+        stat_aggs = [
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("__cnt").alias("n_events"),
+            F.sum("__cnt_lsn").alias("n_events_lsn"),
+            F.max(LSN_COL).alias("max_lsn"),
+        ]
+        if lineage_grouped:
+            stats = (
+                winner_counts.groupingSets(
+                    [[BUCKET_COL], [lineage_col]], BUCKET_COL, lineage_col
+                )
+                .agg(*stat_aggs, F.grouping(BUCKET_COL).alias("__gb"))
+                .collect()
             )
-            .collect()
-        )
-        winner_keys = winner_counts.drop("__cnt", "__cnt_lsn")
+            bucket_counts = [r for r in stats if r["__gb"] == 0]
+            src = src.drop(lineage_col)
+            # Tiny cache-fed regroup back to key grain for the broadcast set.
+            # (A key spanning several log partitions appears once per
+            # partition in the narrow agg; n_keys then overcounts distinct
+            # keys, which only flips to plan (b) EARLIER — safe.)
+            winner_keys = winner_counts.groupBy(*keys, BUCKET_COL).agg(
+                F.max(LSN_COL).alias(LSN_COL)
+            )
+        else:
+            stats = []
+            bucket_counts = (
+                winner_counts.groupBy(BUCKET_COL).agg(*stat_aggs).collect()
+            )
+            winner_keys = winner_counts.drop("__cnt", "__cnt_lsn")
+        pay_src = [c for c in src.columns if c not in keys and c != "__h"]
         n_winner_keys = int(sum(r["n_keys"] for r in bucket_counts))
-        if src_rows < 0:
-            src_rows = int(sum(r["n_events"] for r in bucket_counts))
+        src_rows = int(sum(r["n_events"] for r in bucket_counts))
         n_null_lsn = int(
             sum(r["n_events"] - r["n_events_lsn"] for r in bucket_counts)
         )
@@ -589,7 +604,14 @@ class LakeTable:
                 f"long (see merge() docstring); re-scale or re-pack the log "
                 f"position before merging"
             )
+        for r in stats:
+            if r["__gb"] == 1:
+                lineage[r[lineage_col]] = {
+                    "events": int(r["n_events"]),
+                    "max_lsn": int(r["max_lsn"]),
+                }
         plan_b = n_winner_keys > broadcast_key_limit
+        phases = {"stats": round(time.time() - t0, 3)}
         if plan_b:
             src_winners = (
                 src.groupBy(*keys)
@@ -598,17 +620,35 @@ class LakeTable:
                 .persist()
             )
         else:
-            # Null-safe join-back: a plain column-name equi-join drops rows
-            # whose key (or LSN) is NULL — plan-dependent data loss for the
-            # engine's own null-path tombstone keys. Wrapping (keys, lsn) in
-            # one struct makes the equality null-safe (struct field
-            # comparison treats NULL == NULL) while staying a
-            # BroadcastHashJoin on the struct column.
-            wk_jkl = winner_keys.select(F.struct(*keys, LSN_COL).alias("__jkl"))
+            # Winner PREFILTER on the long key hash, then an exact collapse:
+            #
+            # 1. Broadcast semi-join on (__h, lsn) — two longs, so the probe
+            #    hashes/compares 16 bytes per row instead of the string key
+            #    columns (measured: the string-key join-back cost more than
+            #    the full-payload scan under it; the long-pair probe roughly
+            #    halves the wide pass). It passes a SUPERSET of the winner
+            #    rows: hash collisions (random 64-bit, or systematic — e.g.
+            #    xxhash64 skips NULL columns, so (a, NULL) and (NULL, a)
+            #    share a hash) admit a few extra stale rows.
+            # 2. groupBy on the REAL key columns with max_by — over the tiny
+            #    filtered set only — removes every collision artifact and
+            #    collapses equal-LSN replay duplicates in the same (small)
+            #    shuffle the dropDuplicates used to spend. NULL keys are safe
+            #    end-to-end: xxhash64 hashes them deterministically and
+            #    groupBy treats them as ordinary values.
+            wk_hl = winner_keys.select(
+                F.xxhash64(*[F.col(k) for k in keys]).alias("__h"),
+                F.col(LSN_COL),
+            )
+            pre = src.join(F.broadcast(wk_hl), ["__h", LSN_COL], "inner")
+            # Exact collapse of the prefiltered set — used as-is by defer
+            # mode and the empty-target insert path; the rewrite path below
+            # FUSES this aggregation with the contested-target resolution
+            # so the epoch pays one winner-sized shuffle, not two.
             src_winners = (
-                src.withColumn("__jkl", F.struct(*keys, LSN_COL))
-                .join(F.broadcast(wk_jkl), "__jkl", "inner")
-                .drop("__jkl")
+                pre.groupBy(*keys)
+                .agg(F.max_by(F.struct(*pay_src), F.col(LSN_COL)).alias("__w"))
+                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay_src])
             )
         try:
             dirty = sorted(int(r[BUCKET_COL]) for r in bucket_counts)
@@ -627,15 +667,18 @@ class LakeTable:
             if mode == "defer":
                 # Merge-on-read: append collapsed winners as delta files and
                 # commit; the target is never read, so epoch cost is O(batch).
-                collapsed = src_winners if plan_b else src_winners.dropDuplicates(keys)
+                collapsed = src_winners  # both plans pre-collapse to one row/key
                 new_version = int(manifest["version"]) + 1
                 out_dir = os.path.join(self.root, "data", f"v{new_version}")
+                t_w = time.time()
                 (
                     collapsed.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
                     .write.partitionBy(BUCKET_COL)
                     .mode("overwrite")
                     .parquet(out_dir)
                 )
+                phases["write"] = round(time.time() - t_w, 3)
+                t_c = time.time()
                 written = {
                     int(name.split("=", 1)[1])
                     for name in os.listdir(out_dir)
@@ -663,6 +706,7 @@ class LakeTable:
                         },
                     }
                 )
+                phases["commit"] = round(time.time() - t_c, 3)
                 return MergeStats(
                     epoch_id=epoch_id,
                     skipped=False,
@@ -672,6 +716,7 @@ class LakeTable:
                     schema_added_columns=added,
                     seconds=time.time() - t0,
                     lineage=lineage,
+                    phases=phases,
                 )
 
             target = self._read_buckets(manifest, dirty)
@@ -689,17 +734,15 @@ class LakeTable:
             # Combine source winners with the dirty-target rows. Two plans,
             # matching the collapse above:
             #
-            # (a) broadcast-merge (default): the dirty-target rewrite is
-            #     MAP-ONLY. A target row is carried iff no winner out-ranks it
-            #     (broadcast LEFT join on the tiny winner-key set + filter:
-            #     source wins equal LSN — idempotent replay); a source winner
-            #     lands unless the target holds a strictly higher LSN (stale
-            #     late arrival), detected by a narrow column-pruned (keys,lsn)
-            #     probe of the same bucket files. NO shuffle is proportional to
-            #     table size — at 100 TB an update-heavy epoch rewrites its
-            #     dirty buckets in place of a cluster-wide exchange. The only
-            #     exchanges are over the winner set: a dropDuplicates collapse
-            #     of equal-LSN replays and the bucket repartition of new rows.
+            # (a) broadcast-merge (default): untouched target rows are carried
+            #     MAP-ONLY (one broadcast probe against the winner-key set);
+            #     rows whose key this epoch touched resolve in one
+            #     winner-sized aggregation shared with the source prefilter
+            #     (see the plan (a) construction above). NO shuffle is
+            #     proportional to table or batch size — at 100 TB an
+            #     update-heavy epoch rewrites its dirty buckets in place of a
+            #     cluster-wide exchange; the only exchange carries ~one row
+            #     per touched key.
             #     File growth: carried rows write ~one file per input split, so
             #     a bucket gains ~one file per epoch; once any dirty bucket
             #     exceeds compact_files_per_bucket the epoch's write runs
@@ -726,38 +769,51 @@ class LakeTable:
                 manifest, dirty
             ) >= compact_files_per_bucket
             if not plan_b:
-                # equal-LSN replay duplicates both survive the join-back;
-                # collapse them (tiny: one shuffle of the winner rows only)
-                src_winners = src_winners.dropDuplicates(keys)
                 if target is not None:
-                    # Struct-wrapped keys: null-safe equality (NULL keys must
-                    # match their own winner entry — see the join-back above),
-                    # still a BroadcastHashJoin.
+                    # ONE probe of the target against the winner-key set
+                    # (struct-wrapped keys: null-safe equality, still a
+                    # BroadcastHashJoin) splits it into:
+                    #   carried  — keys this epoch never touched: rewritten
+                    #              MAP-ONLY, no shuffle, no comparison;
+                    #   contested — target rows whose key has a winner: the
+                    #              LWW decision (including the stale-late-
+                    #              arrival case) moves into the SAME small
+                    #              aggregation that collapses the prefiltered
+                    #              source rows, via the packed
+                    #              (lsn*2 + source_flag) ordering — source
+                    #              wins equal LSN, so replay is idempotent.
+                    # This removes the former second target probe + stale-set
+                    # broadcast build + anti-join: per epoch, two broadcast
+                    # builds and one winner-sized exchange, total.
                     wk = winner_keys.select(
                         F.struct(*keys).alias("__jk"), F.col(LSN_COL).alias("__w_lsn")
                     )
-                    carried = (
-                        target.withColumn("__jk", F.struct(*keys))
-                        .join(F.broadcast(wk), "__jk", "left")
-                        .filter(
-                            F.col("__w_lsn").isNull()
-                            | (F.col("__w_lsn") < F.col(LSN_COL))
-                        )
-                        .drop("__jk", "__w_lsn")
+                    tj = target.withColumn("__jk", F.struct(*keys)).join(
+                        F.broadcast(wk), "__jk", "left"
                     )
-                    stale = (
-                        target.select(F.struct(*keys).alias("__jk"), F.col(LSN_COL))
-                        .join(F.broadcast(wk), "__jk", "inner")
-                        .filter(F.col(LSN_COL) > F.col("__w_lsn"))
-                        .select("__jk")
+                    carried = tj.filter(F.col("__w_lsn").isNull()).drop(
+                        "__jk", "__w_lsn"
                     )
-                    fresh = (
-                        src_winners.withColumn("__jk", F.struct(*keys))
-                        .join(F.broadcast(stale), "__jk", "left_anti")
-                        .drop("__jk")
+                    contested = tj.filter(F.col("__w_lsn").isNotNull()).drop(
+                        "__jk", "__w_lsn"
+                    )
+                    combined = pre.withColumn("__src", F.lit(1)).unionByName(
+                        contested.withColumn("__src", F.lit(0)),
+                        allowMissingColumns=True,
+                    )
+                    pay2 = [
+                        c
+                        for c in combined.columns
+                        if c not in keys and c not in ("__h", "__src")
+                    ]
+                    ordering = F.col(LSN_COL) * 2 + F.col("__src")
+                    resolved = (
+                        combined.groupBy(*keys)
+                        .agg(F.max_by(F.struct(*pay2), ordering).alias("__w"))
+                        .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay2])
                     )
                     live = carried.unionByName(
-                        fresh if compact else fresh.repartition(
+                        resolved if compact else resolved.repartition(
                             max(len(dirty), 1), F.col(BUCKET_COL)
                         ),
                         allowMissingColumns=True,
@@ -788,17 +844,20 @@ class LakeTable:
             out_dir = os.path.join(self.root, "data", f"v{new_version}")
             if compact:
                 live = live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
+            t_w = time.time()
             (
                 live.write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
             )
+            phases["write"] = round(time.time() - t_w, 3)
         finally:
             # unpersist on every exit path -- a write/schema failure must
             # not leak the cached winners for the session's lifetime
             winner_counts.unpersist()
             if plan_b:
                 src_winners.unpersist()
+        t_c = time.time()
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
@@ -834,6 +893,7 @@ class LakeTable:
             },
         }
         self._write_manifest(new_manifest)
+        phases["commit"] = round(time.time() - t_c, 3)
         return MergeStats(
             epoch_id=epoch_id,
             skipped=False,
@@ -843,6 +903,7 @@ class LakeTable:
             schema_added_columns=added,
             seconds=time.time() - t0,
             lineage=lineage,
+            phases=phases,
         )
 
     # ------------------------------------------------------------------
