@@ -1,0 +1,98 @@
+"""End-to-end smoke of the spark-submit CLI surface (main.py).
+
+Drives the deployment shape the north rule specifies — separate driver
+processes per invocation, exactly how `spark-submit --py-files` runs it —
+through the full maintenance lifecycle: streaming ingest (merge-on-read) →
+delta compaction → snapshot expiry, then validates the final table state
+in-process against an independent LWW derivation from the same log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(*args: str) -> str:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "kafka_connect_plugins_spark.main", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=420,
+    )
+    assert proc.returncode == 0, f"CLI failed:\n{proc.stderr[-3000:]}"
+    # last stdout line is the JSON summary; Spark logs go to stderr
+    return proc.stdout.strip().splitlines()[-1]
+
+
+@pytest.mark.slow
+def test_cli_ingest_defer_compact_expire(spark, tmp_path):
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+
+    log_dir = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    ckpt_dir = str(tmp_path / "ckpt")
+    changelog(spark, 5000, num_repos=10, paths_per_repo=40).write.parquet(log_dir)
+
+    # 1) ingest the log as merge-on-read epochs in a fresh driver process
+    summary = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+            "--create", "--available-now", "--merge-mode", "defer",
+            "--master", "local[4]", "--shuffle-partitions", "8",
+        )
+    )
+    assert summary["events"] == 5000 and summary["epochs"] >= 1
+    assert summary["high_watermarks"]  # lineage recorded per partition
+
+    # 2) compact pending deltas in a second process
+    maint = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+            "--compact", "--master", "local[4]",
+        )
+    )
+    assert maint["compacted_buckets"] >= 0
+
+    # 3) expire old snapshots in a third process
+    exp = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+            "--expire-keep", "1", "--master", "local[4]",
+        )
+    )
+    assert exp["manifests_removed"] >= 1
+
+    # 4) validate final state in-process against an independent LWW oracle
+    t = LakeTable.load(spark, table_dir)
+    assert t.manifest().get("deltas", {}) == {}  # compaction folded them
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["_lsn"])
+        for r in t.read().collect()
+    }
+    ev = spark.read.parquet(log_dir)
+    win = (
+        ev.groupBy("key")
+        .agg(F.max_by(F.struct("offset", "value"), F.col("offset")).alias("w"))
+        .select("key", "w.offset", "w.value")
+        # a key is live iff its last event is neither a wire tombstone
+        # (null value) nor a soft delete (deleted_at set -> SMT tombstone)
+        .filter(F.col("value").isNotNull() & F.col("value.deleted_at").isNull())
+    )
+    want = {
+        (r["value"]["repo"], r["value"]["path"]): (r["value"]["commit"], r["offset"])
+        for r in win.collect()
+    }
+    assert got == want
+    assert summary["final_rows"] == len(want)
