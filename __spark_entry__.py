@@ -658,6 +658,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(media).select("media_id", "kind", "n_bytes", "sha256", "magic")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation,
+    operators/neardup.connected_components) -> canonical keeper per
+    cluster. The oracle states the same transitive closure with a DuckDB
+    recursive CTE — a full correctness gate for an iterative Spark
+    algorithm."""
+    return neardup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, oracle-gated: per-key LSN
     high-watermark dedup (``applyInPandasWithState``,
@@ -769,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "sliding_counts": q_sliding_counts,
         "streaming_dedup": q_streaming_dedup,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -836,6 +849,37 @@ def _rhp_bucket_sql(vec: str, n_planes: int, dim: int) -> str:
         )
         terms.append(f"CASE WHEN {dotp} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
     return "(" + " + ".join(terms) + ")"
+
+
+# Shared CTE block: LSH near-dup candidate generation + exact-Jaccard verify
+# (mirrors operators/neardup.minhash_lsh_pairs). Ends with relation ``v``
+# (id_a, id_b, jaccard); consumers append their own final SELECT.
+_LSH_PAIRS_CTES = f"""h AS (
+              SELECT doc_id,
+                     list_distinct(list_transform({_LSH_SHINGLES_SQL}, s -> {_h60_sql('s')})) AS hs
+              FROM documents),
+            sig AS (
+              SELECT doc_id, hs,
+                     [{", ".join(
+                         f"list_min(list_transform(hs, x -> ({a} * (x % {_MERSENNE31}) + {b}) % {_MERSENNE31}))"
+                         for (a, b) in _MINHASH_PARAMS
+                     )}] AS mh
+              FROM h),
+            bands AS (
+              SELECT doc_id, b.band,
+                     sha256(array_to_string(
+                       list_slice(mh, b.band * {_LSH_R} + 1, b.band * {_LSH_R} + {_LSH_R}),
+                       '_')) AS bucket
+              FROM sig, (VALUES {_LSH_BANDS_SQL}) b(band)),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+            v AS (
+              SELECT id_a, id_b,
+                     len(list_intersect(a.hs, b.hs))::DOUBLE
+                       / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+              FROM cand JOIN h a ON a.doc_id = id_a JOIN h b ON b.doc_id = id_b)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -996,33 +1040,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "minhash_lsh_pairs": f"""
-            WITH h AS (
-              SELECT doc_id,
-                     list_distinct(list_transform({_LSH_SHINGLES_SQL}, s -> {_h60_sql('s')})) AS hs
-              FROM documents),
-            sig AS (
-              SELECT doc_id, hs,
-                     [{", ".join(
-                         f"list_min(list_transform(hs, x -> ({a} * (x % {_MERSENNE31}) + {b}) % {_MERSENNE31}))"
-                         for (a, b) in _MINHASH_PARAMS
-                     )}] AS mh
-              FROM h),
-            bands AS (
-              SELECT doc_id, b.band,
-                     sha256(array_to_string(
-                       list_slice(mh, b.band * {_LSH_R} + 1, b.band * {_LSH_R} + {_LSH_R}),
-                       '_')) AS bucket
-              FROM sig, (VALUES {_LSH_BANDS_SQL}) b(band)),
-            cand AS (
-              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-            v AS (
-              SELECT id_a, id_b,
-                     len(list_intersect(a.hs, b.hs))::DOUBLE
-                       / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
-              FROM cand JOIN h a ON a.doc_id = id_a JOIN h b ON b.doc_id = id_b)
+            WITH {_LSH_PAIRS_CTES}
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            {_LSH_PAIRS_CTES},
+            pairs AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+            )
+            SELECT node AS doc_id,
+                   min(lab) AS cluster_id,
+                   (min(lab) = node) AS is_keeper
+            FROM reach GROUP BY node
         """,
         "simhash_docs": f"""
             SELECT doc_id, {_SIMHASH_SQL} AS simhash

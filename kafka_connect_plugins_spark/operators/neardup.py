@@ -344,3 +344,101 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return scored
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    edge_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    The missing half of every near-dup pipeline: pair detection (LSH) gives
+    EDGES, but dedup needs CLUSTERS — transitively closed groups with one
+    canonical keeper each. Returns ``(id_col, cluster_id)`` where
+    ``cluster_id`` is the minimum member id of the component (so
+    ``id == cluster_id`` marks the keeper). Vertices of ``nodes`` with no
+    edges come out as singleton clusters of themselves.
+
+    Plan per iteration: one shuffle to route each vertex's current label to
+    its neighbours (edge join) and one min-aggregation — the classic
+    Pregel-style step, converging in O(component diameter) rounds, which for
+    near-dup graphs (dense clumps, tiny diameter) is a handful. Labels are
+    persisted per round and the previous round unpersisted; lineage is
+    truncated with ``localCheckpoint`` so long runs cannot accumulate an
+    unbounded plan. At extreme scale swap the propagation step for the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same interface, fewer
+    rounds on adversarial graphs; the propagation form is kept here because
+    its per-round plan is two narrow shuffles of (long, long) pairs.
+
+    Convergence is detected with a one-row count of changed labels per
+    round (driver receives a single long per iteration, never data).
+    """
+    a, b = edge_cols
+    sym = edges.select(
+        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+    ).unionAll(
+        edges.select(F.col(b).cast("long").alias("src"), F.col(a).cast("long").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).cast("long").alias("src"),
+        F.col(id_col).cast("long").alias("label"),
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            msgs = sym.join(labels, "src").select(
+                F.col("dst").alias("src"), F.col("label")
+            )
+            new_labels = (
+                labels.unionAll(msgs)
+                .groupBy("src")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("label", "old"), "src"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
+    except Exception:
+        labels.unpersist()
+        raise
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    verify_threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup cluster resolution: MinHash-LSH pairs →
+    connected components → canonical keeper per cluster.
+
+    Output: ``(id_col, cluster_id, is_keeper)`` for EVERY document —
+    the exact shape a corpus-dedup job feeds a filter ("keep rows where
+    is_keeper"). cluster_id is the minimum doc id reachable through pairs
+    whose verified Jaccard ≥ ``verify_threshold``.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, verify_threshold=verify_threshold, **lsh_kwargs
+    )
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), df.select(id_col), id_col=id_col
+    )
+    return comps.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
+    )

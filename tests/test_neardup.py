@@ -90,3 +90,38 @@ def test_ngram_jaccard_pairs_blocking_and_values(spark):
     assert not any(3 in p for p in out)
     assert (0, 1) in out and 0.5 < out[(0, 1)] < 1.0
     assert (0, 2) not in out  # below threshold
+
+
+class TestConnectedComponents:
+    def test_chains_singletons_and_keeper(self, spark):
+        from kafka_connect_plugins_spark.operators.neardup import connected_components
+
+        # components: {1,2,3,4} (a chain), {10,11}, singletons {20}, {21}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (11, 10)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21]], "id long")
+        out = {r["id"]: r["cluster_id"] for r in connected_components(edges, nodes).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+    def test_dedup_clusters_transitive(self, spark):
+        from kafka_connect_plugins_spark.operators.neardup import dedup_clusters
+
+        # a ~ b and b ~ c but a !~ c: all three must share one cluster
+        base = " ".join(f"token{i} word{i} filler{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [
+                (1, base + " ending-one ending-one ending-one"),
+                (2, base + " ending-two ending-two ending-one"),
+                (3, base + " ending-two ending-two ending-three"),
+                (9, "completely different content with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+               for r in dedup_clusters(docs, "doc_id", "text", verify_threshold=0.3).collect()}
+        assert out[1] == (1, True)
+        assert out[2][0] == 1 and not out[2][1]
+        assert out[9] == (9, True)
+        # b~c transitivity pulls 3 into cluster 1 even if (1,3) never paired
+        assert out[3][0] == 1
