@@ -307,7 +307,7 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "thre
     # both probes are >= 0.8 of the best window seen. Levels are resampled,
     # interleaved, until each has `clean_target` clean epochs (bounded).
     clean_target = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN", "2"))
-    max_attempts = max(rounds, 2 * clean_target + 2)
+    max_attempts = max(rounds, 4 * clean_target)
     clean: dict[int, list[tuple[float, int]]] = {low_cores: [], high_cores: []}
     rnd = 0
     while rnd < max_attempts and any(
@@ -327,7 +327,19 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "thre
             dt = time.time() - t0
             spark.stop()
             _wait_spark_teardown()
+            # The post-epoch probe validates that no noise burst arrived
+            # MID-epoch — but freeing 4 x 9 GB of executor heap depresses
+            # memory bandwidth for tens of seconds after pgrep says the JVMs
+            # are gone, which misclassified consistently-fast lc4 epochs as
+            # noisy. Take the best of three spaced probes: a teardown
+            # transient recovers within the window, sustained co-tenant
+            # noise does not.
             post = probe_rate()
+            for _ in range(2):
+                if post >= 0.8 * _BEST_PROBE:
+                    break
+                time.sleep(10)
+                post = max(post, probe_rate())
             ok = min(pre, post) >= 0.8 * _BEST_PROBE
             rates[cores].append((dt, st.source_rows))
             if ok:
@@ -578,35 +590,48 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         ),
         "### Why these numbers transfer to a real N vs 4N cluster",
         "",
-        "The merge's wide path is MAP-ONLY by construction (round 2's",
-        "argmax-via-join-back plan: a narrow max-LSN aggregation — parquet column",
-        "pruning keeps the payload out of the scan — then a broadcast semi-join",
-        "keeps winning rows in place; no payload byte crosses a shuffle). A",
-        "map-only stage scales linearly across nodes because tasks share nothing;",
-        "the only cross-node traffic is the ~one-row-per-key winner exchange",
-        "(<1% of input bytes) and the per-epoch manifest commit (seconds,",
-        "amortized over O(10^8)-event microbatches at the north-rule scale).",
+        "The merge's wide path is MAP-ONLY by construction: a narrow",
+        "column-pruned winner aggregation (payload never scanned), then the",
+        "full-payload pass keeps winning rows in place via a broadcast",
+        "prefilter on the 64-bit key hash — no payload byte crosses a",
+        "shuffle, in either the batch or the dirty-bucket rewrite. A map-only",
+        "stage scales linearly across nodes because tasks share nothing; the",
+        "only cross-node traffic is the ~one-row-per-touched-key winner",
+        "exchange (<1% of input bytes), two small broadcast builds, and the",
+        "per-epoch manifest commit (~1 ms measured), amortized over",
+        "O(10^8)-event microbatches at the north-rule scale.",
         "",
-        "**Controlled quiet-window pairs** (tools/profile_scaling.py, one",
-        "96M-event epoch per fresh cluster, alternating levels back-to-back in",
-        "a verified-quiet window): local-cluster[1,8] 43.0s / 43.0s (2.23M",
-        "ev/s) vs local-cluster[4,8] 22.7s / 22.3s (4.23-4.30M ev/s) — raw",
-        "executor-mode N->4N efficiency **0.48**, with the residual gap",
-        "explained by the ~11s of per-epoch serial driver work (collects,",
-        "broadcast build, manifest commit) that more executors cannot shrink",
-        "and that real O(10^9)-event production epochs amortize 10x further.",
-        "The same window also measured a single epoch at 18.6s (5.16M ev/s).",
-        "Multi-JVM levels are hyper-sensitive to co-tenant bursts (a",
-        "descheduled GC thread pauses that executor's 8 task threads), which",
-        "is why unattended interleaved rounds above show a wide lc4 spread.",
+        "**Per-phase attribution** (MergeStats.phases, logged per epoch above):",
+        "an epoch = `stats` (one narrow column-pruned aggregation over",
+        "(keys, bucket, lineage, lsn) + ONE driver collect via grouping sets)",
+        "+ `write` (the map-only wide pass: full-payload scan, long-pair",
+        "broadcast prefilter, fused winner/contested aggregation, dirty-bucket",
+        "rewrite) + `commit` (manifest swap, ~1 ms). Round 3 removed a second",
+        "full scan (the lineage probe), one broadcast build (the stale set),",
+        "one anti-join and one winner shuffle per epoch versus round 2.",
+        "",
+        "**Noise reality on this host** (round-3 measurement day): identical",
+        "lc4 epochs measured 29.1s (3.3M ev/s, verified-quiet window,",
+        "tools/profile_scaling.py) and 205.7s (mid-epoch co-tenant burst) an",
+        "hour apart — a 7x swing with no code change. An A/B in one window",
+        "(round-2 code vs round-3 code, back-to-back lc4 epochs) showed both",
+        "inside the same noise band. Multi-JVM levels are hyper-sensitive to",
+        "bursts (a descheduled GC thread pauses that executor's 8 task",
+        "threads), and freeing 4x9 GB of executor heap depresses the",
+        "bandwidth probe itself for tens of seconds after teardown (the",
+        "post-probe now retries past that transient). Best quiet-window",
+        "executor pair this round: lc1 ~43-48s vs lc4 29.1s -> raw N->4N",
+        "efficiency ~0.37-0.41, ~0.5 normalized by the measured same-box DRAM",
+        "ceiling below.",
         "",
         "On THIS box, all executors — threads or processes — share one memory",
         "system and a hypervisor with co-tenant load; the measured DRAM-bandwidth",
-        "and CPU ceilings above cap the expressible scaling, and identical epochs",
-        "swing 2-4x between noise windows (the profiler reproduced the same",
-        "config at 4.3s and 53.4s minutes apart). The per-level best-of-N over",
-        "interleaved rounds is the noise-resistant estimator; on a real cluster",
-        "each node brings its own DRAM, removing the shared ceiling entirely.",
+        "and CPU ceilings above cap the expressible scaling. The per-level",
+        "best-of-N over interleaved rounds is the noise-resistant estimator; on",
+        "a real cluster each node brings its own DRAM, removing the shared",
+        "ceiling entirely — the map-only wide pass and the per-bucket write",
+        "carry no cross-node traffic proportional to data volume, so the",
+        "plan-level obstacles to N->4N scaling are already out of the design.",
         "",
         f"Small-epoch (1M-event) throughput medians/peaks: {lo['cores']} cores"
         f" {lo['median_events_per_sec']:,}/{lo['peak_events_per_sec']:,} ev/s,"
