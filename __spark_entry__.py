@@ -416,10 +416,12 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10: query vecs (vec_id < 5) vs the rest.
 
-    Broadcast the tiny query side; per-pair dot products run as one NumPy
-    matmul per Arrow batch (operators/similarity.np_dot) — the plan 1000
-    executors would run (candidate side stays partitioned; no shuffle until
-    the per-query top-k)."""
+    Broadcast the tiny query side; per-pair dot products stay NATIVE Column
+    folds per the measured split in operators/similarity.py (a pandas_udf
+    pair-scorer regressed this query 0.65 -> 1.34 s: one dot per pair is
+    cheaper JVM-side than the Arrow round trip). Candidate side stays
+    partitioned; no shuffle until the per-query top-k — the plan 1000
+    executors would run."""
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
     )

@@ -376,7 +376,29 @@ def connected_components(
 
     Convergence is detected with a one-row count of changed labels per
     round (driver receives a single long per iteration, never data).
+
+    Ids must be integral (byte/short/int/long): labels are longs and the
+    cluster_id IS the minimum member id. A string/UUID id would cast to
+    NULL and silently collapse every such node into one NULL cluster, so
+    non-integral id columns raise — map external ids to a dense long
+    surrogate (``zipWithUniqueId`` / ``monotonically_increasing_id`` +
+    join-back) before clustering, as ``dedup_clusters`` documents.
     """
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for df, col, what in (
+        (nodes, id_col, "nodes id"),
+        (edges, edge_cols[0], "edge src"),
+        (edges, edge_cols[1], "edge dst"),
+    ):
+        dt = df.schema[col].dataType
+        if not isinstance(dt, integral):
+            raise TypeError(
+                f"connected_components requires integral ids; {what} column "
+                f"{col!r} is {dt.simpleString()} — map external ids to a "
+                f"long surrogate first (see docstring)"
+            )
     a, b = edge_cols
     sym = edges.select(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")

@@ -270,17 +270,19 @@ def ivf_assign(
     quantizer every IVF build runs, with no wide exchange.
     """
     ordered = sorted(centroids, key=lambda c: -int(c[0]))
+    # int64 end-to-end: centroid ids are caller-chosen (often row ids), and
+    # an int32 output would silently wrap ids >= 2**31.
     cids = np.array([int(c) for c, _ in ordered], dtype=np.int64)
     cmat = np.array([v for _, v in ordered], dtype=np.float64)  # (K, dim)
     cmat_t = (cmat / np.linalg.norm(cmat, axis=1, keepdims=True)).T  # (dim, K)
 
-    @pandas_udf(T.IntegerType())
+    @pandas_udf(T.LongType())
     def assign(v: pd.Series) -> pd.Series:
         if not len(v):
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         x = _mat(v)
         sims = (x @ cmat_t) / np.linalg.norm(x, axis=1, keepdims=True)
-        return pd.Series(cids[np.argmax(sims, axis=1)]).astype("int32")
+        return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return df.withColumn(out_col, assign(F.col(vec_col)))
 

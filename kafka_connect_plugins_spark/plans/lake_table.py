@@ -541,6 +541,7 @@ class LakeTable:
                 # count(col) skips NULLs: __cnt - __cnt_lsn = null-LSN rows,
                 # guarded below (a NULL log position has no LWW meaning)
                 F.count(F.col(LSN_COL)).alias("__cnt_lsn"),
+                F.min(LSN_COL).alias("__min_lsn"),
             )
             .persist()
         )
@@ -554,6 +555,10 @@ class LakeTable:
             F.sum("__cnt").alias("n_events"),
             F.sum("__cnt_lsn").alias("n_events_lsn"),
             F.max(LSN_COL).alias("max_lsn"),
+            # __min_lsn is the per-key min, so this sees EVERY row's LSN —
+            # the documented lower bound (lsn >= 0) is enforced in the same
+            # pass that already guards NULLs and the 2**62 ceiling, for free.
+            F.min("__min_lsn").alias("min_lsn"),
         ]
         if lineage_grouped:
             stats = (
@@ -577,7 +582,7 @@ class LakeTable:
             bucket_counts = (
                 winner_counts.groupBy(BUCKET_COL).agg(*stat_aggs).collect()
             )
-            winner_keys = winner_counts.drop("__cnt", "__cnt_lsn")
+            winner_keys = winner_counts.drop("__cnt", "__cnt_lsn", "__min_lsn")
         pay_src = [c for c in src.columns if c not in keys and c != "__h"]
         n_winner_keys = int(sum(r["n_keys"] for r in bucket_counts))
         src_rows = int(sum(r["n_events"] for r in bucket_counts))
@@ -588,6 +593,18 @@ class LakeTable:
             (r["max_lsn"] for r in bucket_counts if r["max_lsn"] is not None),
             default=None,
         )
+        min_lsn_seen = min(
+            (r["min_lsn"] for r in bucket_counts if r["min_lsn"] is not None),
+            default=None,
+        )
+        if min_lsn_seen is not None and min_lsn_seen < 0:
+            winner_counts.unpersist()
+            raise ValueError(
+                f"LSN {min_lsn_seen} is outside the supported domain "
+                f"[0, 2**62): log positions must be non-negative (see "
+                f"merge() docstring); re-scale or re-pack the log position "
+                f"before merging"
+            )
         if n_null_lsn or (
             max_lsn_seen is not None and max_lsn_seen >= _LSN_DOMAIN_MAX
         ):

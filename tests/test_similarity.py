@@ -86,3 +86,89 @@ def test_ivf_topk_matches_bruteforce_within_list(spark):
     assert got[(0, 1)] == 10 and got[(0, 2)] == 11
     assert got[(1, 1)] == 13 and got[(1, 2)] == 12
     assert (0, 3) not in got  # other list never scanned (n_probe=1)
+
+
+# ----------------------------------------------------------------------
+# NumPy-vs-Column engine parity (the measured-split contract): the Arrow
+# matmul hot paths must agree decision-for-decision with the Column
+# reference formulations that the SQL oracles reproduce.
+# ----------------------------------------------------------------------
+
+def _random_vecs(spark, n=256, dim=16, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, e array<double>"), dim
+
+
+def test_rhp_bucket_numpy_matches_column_reference(spark):
+    from kafka_connect_plugins_spark.operators.similarity import rhp_bucket_column
+
+    df, dim = _random_vecs(spark)
+    out = df.select(
+        "vec_id",
+        rhp_bucket(F.col("e"), 8, dim).alias("np_bucket"),
+        rhp_bucket_column(F.col("e"), 8, dim).alias("col_bucket"),
+    ).collect()
+    assert len(out) == 256
+    for r in out:
+        assert r["np_bucket"] == r["col_bucket"], r["vec_id"]
+
+
+def test_ivf_assign_numpy_matches_column_argmax(spark):
+    df, dim = _random_vecs(spark, n=200, seed=11)
+    cents = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in df.filter(F.col("vec_id") < 6).collect()
+    ]
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(df, cents, "e").collect()
+    }
+    # Column argmax reference: score every centroid, pick max sim with
+    # ties to the highest centroid id — the oracle's ORDER BY sim DESC,
+    # cid DESC.
+    from kafka_connect_plugins_spark.operators.similarity import cosine
+
+    scored = df
+    for cid, cvec in cents:
+        cv = F.array(*[F.lit(x).cast("double") for x in cvec])
+        scored = scored.withColumn(f"s{cid}", cosine(F.col("e"), cv))
+    pairs = F.array(
+        *[F.struct(F.col(f"s{cid}").alias("sim"), F.lit(cid).cast("long").alias("cid"))
+          for cid, _ in cents]
+    )
+    ref = {
+        r["vec_id"]: r["ref_id"]
+        for r in scored.select(
+            "vec_id", F.array_max(pairs).getField("cid").alias("ref_id")
+        ).collect()
+    }
+    assert got == ref
+    # LongType output: a centroid id >= 2**31 must survive un-wrapped
+    big = 2**33 + 5
+    cents_big = [(big, cents[0][1]), (1, cents[1][1])]
+    vals = {r["list_id"] for r in ivf_assign(df, cents_big, "e").collect()}
+    assert vals <= {big, 1} and big in vals
+
+
+def test_np_dot_and_norm_match_column_folds(spark):
+    from kafka_connect_plugins_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        np_dot,
+        np_l2_norm,
+    )
+
+    df, _ = _random_vecs(spark, n=128, seed=3)
+    other = F.reverse(F.col("e"))
+    out = df.select(
+        np_dot(F.col("e"), other).alias("nd"),
+        dot(F.col("e"), other).alias("cd"),
+        np_l2_norm(F.col("e")).alias("nn"),
+        l2_norm(F.col("e")).alias("cn"),
+    ).collect()
+    for r in out:
+        assert abs(r["nd"] - r["cd"]) < 1e-9
+        assert abs(r["nn"] - r["cn"]) < 1e-9
