@@ -130,3 +130,87 @@ def replay(
         if batches and epoch >= batches:
             break
     return stats
+
+
+def replay_pipelined(
+    table: LakeTable,
+    batches: list[DataFrame],
+    start_epoch: int = 0,
+    stream_id: str = "replay",
+    pipeline: Pipeline | None = None,
+    merge_mode: str = "rewrite",
+) -> list[MergeStats]:
+    """Replay consecutive epochs with a ONE-EPOCH stats/write pipeline.
+
+    ``merge_prepare(i+1)`` (the source-only narrow aggregation — the phase
+    that scales worst, a key-stats shuffle + one driver collect) runs on a
+    helper thread CONCURRENTLY with ``merge(prep=i)`` (the map-only wide
+    write + commit). Spark schedules jobs from both threads onto the same
+    executors; with ``spark.scheduler.mode=FAIR`` the two jobs share task
+    slots by pool weight (pools ``kcp_stats`` / ``kcp_write`` are created on
+    demand), and even under FIFO the stats tasks fill the write job's
+    driver-serial bubbles (collect barriers, commit fsync, stage tails).
+
+    Exactly-once is untouched: ``merge_prepare`` mutates nothing, and the
+    epoch guard + manifest commit stay inside ``merge()`` in epoch order —
+    a crash mid-pipeline loses only uncommitted work, and the next run's
+    epoch guard resumes from the last committed epoch exactly as in the
+    serial loop. (Structured Streaming's ``foreachBatch`` cannot use this
+    shape: the checkpoint commits batch ``i``'s offsets when the callback
+    returns, so deferring the write past the return would open a
+    lost-epoch window on crash. The replay driver commits epochs through
+    the table manifest itself, which is why prefetching is safe HERE.)
+
+    Each returned MergeStats carries two extra ``phases`` keys:
+    ``prep_wall`` (the concurrent prepare's wall time) and
+    ``prep_overlap`` (how much of it ran inside the previous epoch's
+    apply window — the overlap the pipeline actually bought).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    import time as _time
+
+    if not batches:
+        return []
+    chain = pipeline if pipeline is not None else cdc_transform_chain()
+    sc = table.spark.sparkContext
+
+    def _prepare(events: DataFrame):
+        sc.setLocalProperty("spark.scheduler.pool", "kcp_stats")
+        t0 = _time.time()
+        prep = table.merge_prepare(
+            events_to_merge_source(chain.apply(events)),
+            lsn_col="_lsn",
+            tombstone_col="_tombstone",
+            lineage_col="_src_partition",
+        )
+        return prep, t0, _time.time()
+
+    stats: list[MergeStats] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_prepare, batches[0])
+        for i, _batch in enumerate(batches):
+            prep, p0, p1 = fut.result()
+            if i + 1 < len(batches):
+                fut = pool.submit(_prepare, batches[i + 1])
+            sc.setLocalProperty("spark.scheduler.pool", "kcp_write")
+            a0 = _time.time()
+            st = table.merge(
+                prep=prep,
+                epoch_id=start_epoch + i,
+                stream_id=stream_id,
+                mode=merge_mode,
+            )
+            a1 = _time.time()
+            st.phases["prep_wall"] = round(p1 - p0, 3)
+            # overlap of THIS prep with the PREVIOUS epoch's apply window
+            if stats:
+                prev0, prev1 = stats[-1].phases.get("__apply_window", (a0, a0))
+                st.phases["prep_overlap"] = round(
+                    max(0.0, min(p1, prev1) - max(p0, prev0)), 3
+                )
+            st.phases["__apply_window"] = (a0, a1)
+            stats.append(st)
+        sc.setLocalProperty("spark.scheduler.pool", None)
+    for st in stats:
+        st.phases.pop("__apply_window", None)
+    return stats

@@ -81,6 +81,37 @@ class MergeStats:
     phases: dict = field(default_factory=dict)
 
 
+@dataclass
+class MergePrep:
+    """Source-side merge preparation, separable from the table write.
+
+    Everything here derives from the SOURCE batch alone (normalized frame,
+    narrow winner aggregation, domain guards, plan choice) — no target
+    state is read and nothing is committed, so a ``MergePrep`` for epoch
+    ``i+1`` can be computed CONCURRENTLY with epoch ``i``'s write+commit
+    (see ``engine.replay_pipelined``): the stats phase is the part of an
+    epoch that scales worst (a narrow-agg shuffle + one driver collect),
+    and hiding it under the previous epoch's map-only wide write removes
+    it from the critical path entirely. Safe because the epoch guard,
+    schema evolution and every manifest read stay in :meth:`LakeTable.merge`.
+    """
+
+    src: DataFrame                  # normalized source (+ __h, _bucket)
+    winner_counts: DataFrame        # persisted narrow agg (unpersist in merge)
+    winner_keys: DataFrame          # per-key winning LSN (lazy, cache-fed)
+    pre: DataFrame | None           # plan (a): hash-prefiltered source rows
+    src_winners: DataFrame          # exact per-key winner rows (lazy)
+    bucket_counts: list             # collected per-bucket stats rows
+    lineage: dict                   # per-source-partition event counts
+    n_winner_keys: int
+    src_rows: int
+    plan_b: bool
+    user_fields: list               # non-key payload StructFields
+    incoming: "T.StructType"        # schema offered for evolution
+    stats_seconds: float            # wall time of the narrow agg + collect
+    table_root: str                 # safety: prep is table-specific
+
+
 class SchemaEvolutionError(TypeError):
     """Incompatible schema change (type conflict / non-additive)."""
 
@@ -406,70 +437,29 @@ class LakeTable:
     # ------------------------------------------------------------------
     # MERGE
     # ------------------------------------------------------------------
-    def merge(
+    def merge_prepare(
         self,
         source: DataFrame,
         lsn_col: str = "_lsn",
         tombstone_col: str | None = "_tombstone",
-        epoch_id: int | None = None,
-        stream_id: str = "default",
         lineage_col: str | None = None,
         broadcast_key_limit: int = 2_000_000,
-        compact_files_per_bucket: int = 4,
-        mode: str = "rewrite",
-    ) -> MergeStats:
-        """MERGE upsert: last-writer-wins per key on the LSN.
+    ) -> MergePrep:
+        """Run the SOURCE-side half of a merge: normalization, the narrow
+        winner aggregation (one shuffle + ONE driver collect), LSN-domain
+        guards, lineage, and the plan (a)/(b) choice.
 
-        Semantics (the Iceberg MERGE the north rule specifies)::
-
-            WHEN MATCHED AND source.lsn >= target.lsn THEN UPDATE *   -- incl. tombstone flag
-            WHEN NOT MATCHED THEN INSERT *
-
-        Deletes become RETAINED marker rows (``_tombstone = true``), filtered
-        by :meth:`read` and physically removed by :meth:`purge_tombstones`.
-        Retention makes the merge **order-insensitive across microbatches**:
-        a delete at LSN 100 applied in epoch 1 still out-ranks an insert at
-        LSN 50 arriving in epoch 2 — a physical DELETE would have forgotten
-        LSN 100 and resurrected the key. (Kafka's own log compaction retains
-        tombstones for ``delete.retention.ms`` for exactly this reason.)
-
-        ``source`` carries the user columns plus an LSN column; rows need not
-        be pre-deduplicated (an in-batch LWW collapse runs first). On equal
-        LSN the source row wins over the stored row — replaying an
-        already-applied event is therefore idempotent (the content is
-        identical by determinism of the log). Two *distinct* source events
-        sharing an LSN for the same key have no defined winner: the LSN must
-        be a total order per key (a global offset, or pack
-        ``(partition_epoch << k) | offset`` for multi-partition logs before
-        calling merge).
-
-        **LSN domain**: ``0 <= lsn < 2**62``. The equal-LSN source-wins
-        tiebreak packs ``lsn * 2 + source_flag`` into one long so the LWW
-        ordering stays a plain column inside whole-stage codegen (a struct
-        ordering drops to an interpreted comparator, measured 5-12x slower);
-        a batch whose max LSN is outside the domain raises rather than
-        silently overflowing. **NULL keys** are legal: all merge joins use
-        null-safe (struct-wrapped) key equality, so a NULL key column
-        upserts like any other value in every plan (broadcast join-back,
-        union+LWW, and merge-on-read defer).
-
-        ``mode="defer"`` is the **merge-on-read** path (Iceberg MOR
-        analogue): the collapsed per-key winners are APPENDED as delta files
-        — epoch cost is O(batch), never O(dirty buckets) — and readers
-        LWW-collapse base ∪ deltas at scan time (see ``_read_buckets``).
-        Deltas fold back into the base the next time a rewrite-mode merge,
-        ``purge_tombstones`` or :meth:`compact` touches their bucket. Use
-        defer for update-heavy ingest bursts, rewrite (default) for
-        read-optimized steady state; exactly-once, LWW and tombstone
-        semantics are identical in both modes.
+        Nothing here reads target data or the epoch ledger and nothing is
+        committed, so this is safe to run for epoch ``i+1`` concurrently
+        with epoch ``i``'s :meth:`merge` — the pipelined-ingest shape
+        (``engine.replay_pipelined``) that hides the stats phase, the
+        worst-scaling part of an epoch, under the previous epoch's map-only
+        wide write. Pass the result to ``merge(prep=...)``; the epoch guard
+        and schema evolution still happen there, against the manifest as of
+        apply time.
         """
-        if mode not in ("rewrite", "defer"):
-            raise ValueError(f"unknown merge mode: {mode!r}")
         t0 = time.time()
         manifest = self.manifest()
-        if epoch_id is not None and int(manifest["epochs"].get(stream_id, -1)) >= epoch_id:
-            return MergeStats(epoch_id=epoch_id, skipped=True)
-
         keys = manifest["key_columns"]
         n_buckets = manifest["num_buckets"]
 
@@ -493,7 +483,6 @@ class LakeTable:
             + user_fields
             + [T.StructField(LSN_COL, T.LongType(), True)]
         )
-        new_schema_json, added = self._evolve_schema(manifest, incoming)
 
         # __h is the 64-bit key hash: it derives the bucket AND serves as the
         # cheap probe key of plan (a)'s winner prefilter (hashing/comparing
@@ -628,7 +617,7 @@ class LakeTable:
                     "max_lsn": int(r["max_lsn"]),
                 }
         plan_b = n_winner_keys > broadcast_key_limit
-        phases = {"stats": round(time.time() - t0, 3)}
+        stats_seconds = round(time.time() - t0, 3)
         if plan_b:
             src_winners = (
                 src.groupBy(*keys)
@@ -667,6 +656,128 @@ class LakeTable:
                 .agg(F.max_by(F.struct(*pay_src), F.col(LSN_COL)).alias("__w"))
                 .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in pay_src])
             )
+        return MergePrep(
+            src=src,
+            winner_counts=winner_counts,
+            winner_keys=winner_keys,
+            pre=pre if not plan_b else None,
+            src_winners=src_winners,
+            bucket_counts=bucket_counts,
+            lineage=lineage,
+            n_winner_keys=n_winner_keys,
+            src_rows=src_rows,
+            plan_b=plan_b,
+            user_fields=user_fields,
+            incoming=incoming,
+            stats_seconds=stats_seconds,
+            table_root=self.root,
+        )
+
+    def merge(
+        self,
+        source: DataFrame | None = None,
+        lsn_col: str = "_lsn",
+        tombstone_col: str | None = "_tombstone",
+        epoch_id: int | None = None,
+        stream_id: str = "default",
+        lineage_col: str | None = None,
+        broadcast_key_limit: int = 2_000_000,
+        compact_files_per_bucket: int = 4,
+        mode: str = "rewrite",
+        prep: MergePrep | None = None,
+    ) -> MergeStats:
+        """MERGE upsert: last-writer-wins per key on the LSN.
+
+        Semantics (the Iceberg MERGE the north rule specifies)::
+
+            WHEN MATCHED AND source.lsn >= target.lsn THEN UPDATE *   -- incl. tombstone flag
+            WHEN NOT MATCHED THEN INSERT *
+
+        Deletes become RETAINED marker rows (``_tombstone = true``), filtered
+        by :meth:`read` and physically removed by :meth:`purge_tombstones`.
+        Retention makes the merge **order-insensitive across microbatches**:
+        a delete at LSN 100 applied in epoch 1 still out-ranks an insert at
+        LSN 50 arriving in epoch 2 — a physical DELETE would have forgotten
+        LSN 100 and resurrected the key. (Kafka's own log compaction retains
+        tombstones for ``delete.retention.ms`` for exactly this reason.)
+
+        ``source`` carries the user columns plus an LSN column; rows need not
+        be pre-deduplicated (an in-batch LWW collapse runs first). On equal
+        LSN the source row wins over the stored row — replaying an
+        already-applied event is therefore idempotent (the content is
+        identical by determinism of the log). Two *distinct* source events
+        sharing an LSN for the same key have no defined winner: the LSN must
+        be a total order per key (a global offset, or pack
+        ``(partition_epoch << k) | offset`` for multi-partition logs before
+        calling merge).
+
+        **LSN domain**: ``0 <= lsn < 2**62``. The equal-LSN source-wins
+        tiebreak packs ``lsn * 2 + source_flag`` into one long so the LWW
+        ordering stays a plain column inside whole-stage codegen (a struct
+        ordering drops to an interpreted comparator, measured 5-12x slower);
+        a batch whose max LSN is outside the domain raises rather than
+        silently overflowing. **NULL keys** are legal: all merge joins use
+        null-safe (struct-wrapped) key equality, so a NULL key column
+        upserts like any other value in every plan (broadcast join-back,
+        union+LWW, and merge-on-read defer).
+
+        ``mode="defer"`` is the **merge-on-read** path (Iceberg MOR
+        analogue): the collapsed per-key winners are APPENDED as delta files
+        — epoch cost is O(batch), never O(dirty buckets) — and readers
+        LWW-collapse base ∪ deltas at scan time (see ``_read_buckets``).
+        Deltas fold back into the base the next time a rewrite-mode merge,
+        ``purge_tombstones`` or :meth:`compact` touches their bucket. Use
+        defer for update-heavy ingest bursts, rewrite (default) for
+        read-optimized steady state; exactly-once, LWW and tombstone
+        semantics are identical in both modes.
+
+        ``prep``: a :class:`MergePrep` from :meth:`merge_prepare` — the
+        source-side stats half, precomputed (typically concurrently with the
+        previous epoch's write; see ``engine.replay_pipelined``). When given,
+        ``source`` is ignored, ``phases["stats"]`` reports the prep's own
+        wall time, and ``seconds`` covers only the apply (write+commit)
+        half. The epoch guard and schema evolution always run HERE against
+        the apply-time manifest, so a prep computed against a pre-evolution
+        manifest stays correct.
+        """
+        if mode not in ("rewrite", "defer"):
+            raise ValueError(f"unknown merge mode: {mode!r}")
+        t0 = time.time()
+        manifest = self.manifest()
+        if epoch_id is not None and int(manifest["epochs"].get(stream_id, -1)) >= epoch_id:
+            if prep is not None:
+                prep.winner_counts.unpersist()
+                if prep.plan_b:
+                    prep.src_winners.unpersist()
+            return MergeStats(epoch_id=epoch_id, skipped=True)
+        if prep is None:
+            if source is None:
+                raise ValueError("merge() requires a source DataFrame or prep=")
+            prep = self.merge_prepare(
+                source,
+                lsn_col=lsn_col,
+                tombstone_col=tombstone_col,
+                lineage_col=lineage_col,
+                broadcast_key_limit=broadcast_key_limit,
+            )
+        elif prep.table_root != self.root:
+            raise ValueError(
+                f"MergePrep was built for table {prep.table_root!r}, "
+                f"not {self.root!r}"
+            )
+
+        keys = manifest["key_columns"]
+        winner_counts = prep.winner_counts
+        winner_keys = prep.winner_keys
+        pre = prep.pre
+        src_winners = prep.src_winners
+        bucket_counts = prep.bucket_counts
+        lineage = prep.lineage
+        src_rows = prep.src_rows
+        plan_b = prep.plan_b
+        user_fields = prep.user_fields
+        new_schema_json, added = self._evolve_schema(manifest, prep.incoming)
+        phases = {"stats": prep.stats_seconds}
         try:
             dirty = sorted(int(r[BUCKET_COL]) for r in bucket_counts)
 
