@@ -43,6 +43,12 @@ N_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))  # + 1 warmup
 # under ~10% at 32 cores — the Amdahl point where >=0.8 N->4N efficiency
 # becomes observable at all. (~13 GB of events on tmpfs.)
 SCALE_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_MULT", "96"))
+# Consecutive pipelined epochs per scaling measurement: the next epoch's
+# stats aggregation overlaps the current epoch's wide write
+# (engine.replay_pipelined), so the measured steady state is the write
+# path. The SCALE_MULT budget is split across them (2 x 48M by default —
+# same cached event file).
+PIPE_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_PIPE_EPOCHS", "2"))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 
@@ -58,6 +64,8 @@ def _builder(app: str, master: str, cores_total: int):
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cores_total * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # stats/write jobs from the pipelined replay share task slots
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -197,7 +205,7 @@ def _bw_worker(_arg):
     return 2 * 0.1 * n / (time.time() - t0)  # GB/s (read+write) this process
 
 
-def host_mem_bandwidth_ceiling(low: int, high: int) -> float:
+def host_mem_bandwidth_ceiling(low: int, high: int, trials: int = 3) -> float:
     """Measured DRAM-bandwidth scaling from ``low`` to ``high`` processes.
 
     The merge is scan/shuffle-heavy, i.e. partially memory-bandwidth-bound.
@@ -210,14 +218,14 @@ def host_mem_bandwidth_ceiling(low: int, high: int) -> float:
     import multiprocessing
 
     totals = {low: 0.0, high: 0.0}
-    for _trial in range(3):  # per-level best-of-3: the probe itself rides the
-        for n in (low, high):  # same co-tenant noise as the measured jobs
+    for _trial in range(trials):  # per-level best-of-N: the probe itself rides
+        for n in (low, high):  # the same co-tenant noise as the measured jobs
             with multiprocessing.Pool(n) as p:
                 totals[n] = max(totals[n], sum(p.map(_bw_worker, range(n))))
     return totals[high] / ((high / low) * totals[low])
 
 
-def host_cpu_ceiling(low: int, high: int) -> float:
+def host_cpu_ceiling(low: int, high: int, trials: int = 3) -> float:
     """Measured upper bound on CPU scaling this host can express.
 
     The sandbox runs on an oversubscribed hypervisor (vmstat shows up to ~30%
@@ -229,7 +237,7 @@ def host_cpu_ceiling(low: int, high: int) -> float:
     import multiprocessing
 
     totals = {low: 0, high: 0}
-    for _trial in range(3):  # per-level best-of-3, interleaved (see membw)
+    for _trial in range(trials):  # per-level best-of-N, interleaved (see membw)
         for n in (low, high):
             with multiprocessing.Pool(n) as p:
                 totals[n] = max(totals[n], sum(p.map(_burn, range(n))))
@@ -258,23 +266,41 @@ def _wait_spark_teardown(timeout_s: float = 20.0) -> None:
     time.sleep(2)  # settle page-freeing
 
 
-def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "threads") -> dict:
-    """Large compute-dominated epochs for the N->4N criterion.
+def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
+    """N vs 4N scaling as PAIRED, NOISE-GATED WINDOWS — the reproducible
+    artifact for the BASELINE criterion (scaling efficiency >= 0.8 from N
+    to 4N executors).
 
-    ``mode="executors"`` (the criterion's shape): ``local-cluster[1,8,m]`` vs
-    ``local-cluster[4,8,m]`` — one vs four REAL executor JVMs, separate
-    processes with RPC + inter-process shuffle, exactly what "two cluster
-    sizes (N and 4N executors)" means minus the network hop. ``mode=
-    "threads"``: local[8] vs local[32] inside one JVM (kept for comparison).
+    One WINDOW = both levels measured back-to-back (order alternating per
+    window to cancel drift) with a memory-bandwidth probe BEFORE, BETWEEN
+    and AFTER; the window is CLEAN only if every probe reads >= 0.8 of the
+    best rate seen this run — i.e. both measurements ran under the same,
+    quiet co-tenant load. Each window also samples the host's OWN N->4N
+    process-scaling ceilings (pure-CPU burn and DRAM memcpy): on this
+    shared-hypervisor single box, 4N threads/JVMs share one memory system,
+    so no workload can express scaling above those ceilings — on a real N
+    vs 4N EXECUTOR cluster each node brings its own DRAM and the ceiling
+    terms are 1.0. Windows accumulate until ``target_clean`` are clean (or
+    ``max_windows`` tried); the HEADLINE is the median and best efficiency
+    over clean windows, with every window's raw numbers emitted so the
+    distribution — not a cherry-pick — is the artifact.
 
-    The two levels run INTERLEAVED over several rounds of identical work,
-    and each level reports its best round — the pairing least distorted by
-    the host's minute-scale contention swings (identical 1M-event epochs
-    measured anywhere from 15k to 156k ev/s under steal).
+    Within a level, ``PIPE_EPOCHS`` consecutive epochs run through
+    ``engine.replay_pipelined``: epoch i+1's narrow stats aggregation (the
+    worst-scaling phase: a key-stats shuffle + one driver collect) overlaps
+    epoch i's map-only wide write on a FAIR pool, so the steady-state epoch
+    cost the window measures is the write path, as in production.
+
+    ``mode="executors"``: local-cluster[1,8] vs [4,8] — real executor JVMs,
+    RPC + inter-process shuffle. ``mode="threads"``: local[8] vs local[32].
     """
     from pyspark.sql import functions as F
 
-    from kafka_connect_plugins_spark.engine import apply_batch, create_repo_table
+    from kafka_connect_plugins_spark.engine import (
+        apply_batch,
+        create_repo_table,
+        replay_pipelined,
+    )
     from kafka_connect_plugins_spark.plans.lake_table import LakeTable
 
     low_cores, high_cores = max(CPUS // 4, 1), CPUS
@@ -288,103 +314,148 @@ def bench_scaling(tmp: str, events_path: str, rounds: int = 3, mode: str = "thre
             low_cores: (lambda: _session(low_cores), f"local[{low_cores}]"),
             high_cores: (lambda: _session(high_cores), f"local[{high_cores}]"),
         }
-    warm, big = EPOCH_EVENTS, EPOCH_EVENTS * SCALE_MULT
-    rates: dict[int, list[tuple[float, int]]] = {low_cores: [], high_cores: []}
-    for cores, (factory, _label) in levels.items():  # warmup + table creation
-        spark = factory()
-        events = spark.read.parquet(events_path)
-        table = create_repo_table(
-            spark, os.path.join(tmp, f"scale_table_{mode}_{cores}"), num_buckets=64
-        )
-        apply_batch(table, events.filter(F.col("offset") < warm), epoch_id=0, stream_id="scale")
-        spark.stop()
-    # A pre-epoch quiet gate alone is NOT enough on this host: contention
-    # bursts arriving MID-epoch poisoned round-1 numbers (multi-JVM levels
-    # are hyper-sensitive — a descheduled GC thread pauses all of that
-    # executor's task threads, so steal degrades local-cluster superlinearly
-    # while the same window leaves local[32] untouched). So every sample is
-    # validated by a second probe AFTER the epoch; a sample is CLEAN only if
-    # both probes are >= 0.8 of the best window seen. Levels are resampled,
-    # interleaved, until each has `clean_target` clean epochs (bounded).
-    clean_target = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN", "2"))
-    max_attempts = max(rounds, 4 * clean_target)
-    clean: dict[int, list[tuple[float, int]]] = {low_cores: [], high_cores: []}
-    rnd = 0
-    while rnd < max_attempts and any(
-        len(clean[c]) < clean_target for c in (low_cores, high_cores)
-    ):
-        rnd += 1
-        for cores, (factory, label) in levels.items():
-            if len(clean[cores]) >= clean_target:
-                continue
-            pre = wait_for_quiet_host()
-            spark = factory()
-            events = spark.read.parquet(events_path)
-            table = LakeTable.load(spark, os.path.join(tmp, f"scale_table_{mode}_{cores}"))
-            batch = events.filter((F.col("offset") >= warm) & (F.col("offset") < warm + big))
-            t0 = time.time()
-            st = apply_batch(table, batch, epoch_id=rnd, stream_id="scale")
-            dt = time.time() - t0
+    per_epoch = EPOCH_EVENTS * max(SCALE_MULT // PIPE_EPOCHS, 1)
+    target_clean = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN", "3"))
+    max_windows = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WINDOWS", "8"))
+
+    for cores in (low_cores, high_cores):  # table creation, once per level
+        path = os.path.join(tmp, f"scale_table_{mode}_{cores}")
+        if not os.path.exists(os.path.join(path, "_CURRENT")):
+            spark = levels[cores][0]()
+            create_repo_table(spark, path, num_buckets=64)
             spark.stop()
             _wait_spark_teardown()
-            # The post-epoch probe validates that no noise burst arrived
-            # MID-epoch — but freeing 4 x 9 GB of executor heap depresses
-            # memory bandwidth for tens of seconds after pgrep says the JVMs
-            # are gone, which misclassified consistently-fast lc4 epochs as
-            # noisy. Take the best of three spaced probes: a teardown
-            # transient recovers within the window, sustained co-tenant
-            # noise does not.
-            post = probe_rate()
+
+    def run_level(cores: int, window: int) -> dict:
+        factory, label = levels[cores]
+        spark = factory()
+        events = spark.read.parquet(events_path)
+        table = LakeTable.load(spark, os.path.join(tmp, f"scale_table_{mode}_{cores}"))
+        # Untimed in-session warmup: fresh JVMs pay JIT/codegen compilation
+        # of the merge's whole-stage methods (~2-5 s) — measured once per
+        # session on a small epoch so the timed run measures the engine.
+        apply_batch(
+            table, events.filter(F.col("offset") < EPOCH_EVENTS),
+            epoch_id=None, stream_id="warm",
+        )
+        batches = [
+            events.filter(
+                (F.col("offset") >= EPOCH_EVENTS + e * per_epoch)
+                & (F.col("offset") < EPOCH_EVENTS + (e + 1) * per_epoch)
+            )
+            for e in range(PIPE_EPOCHS)
+        ]
+        t0 = time.time()
+        stats = replay_pipelined(
+            table, batches, start_epoch=window * PIPE_EPOCHS, stream_id="scale"
+        )
+        dt = time.time() - t0
+        spark.stop()
+        _wait_spark_teardown()
+        rows = sum(s.source_rows for s in stats)
+        return {
+            "cores": cores,
+            "label": label,
+            "seconds": round(dt, 2),
+            "events": rows,
+            "events_per_sec": round(rows / dt),
+            "epoch_phases": [s.phases for s in stats],
+        }
+
+    windows: list[dict] = []
+    w = 0
+    while w < max_windows and sum(1 for win in windows if win["clean"]) < target_clean:
+        wait_for_quiet_host()
+        order = (low_cores, high_cores) if w % 2 == 0 else (high_cores, low_cores)
+        probes = [probe_rate()]
+        results = {}
+        for cores in order:
+            results[cores] = run_level(cores, w)
+            # a teardown transient (executor heap freeing) recovers within
+            # ~20 s; sustained co-tenant noise does not — best of 3 spaced
+            pr = probe_rate()
             for _ in range(2):
-                if post >= 0.8 * _BEST_PROBE:
+                if pr >= 0.8 * _BEST_PROBE:
                     break
                 time.sleep(10)
-                post = max(post, probe_rate())
-            ok = min(pre, post) >= 0.8 * _BEST_PROBE
-            rates[cores].append((dt, st.source_rows))
-            if ok:
-                clean[cores].append((dt, st.source_rows))
-            log(f"scaling[{mode}] round {rnd} {label}: {st.source_rows} ev in {dt:.1f}s"
-                f" = {st.source_rows / dt:,.0f} ev/s"
-                f" [{'clean' if ok else 'noisy'}: probes {pre / _BEST_PROBE:.2f}/"
-                f"{post / _BEST_PROBE:.2f}] phases={st.phases}")
-
-    results = {}
-    for cores, samples in rates.items():
-        best_dt, rows = min(clean[cores]) if clean[cores] else min(samples)
-        results[cores] = {
-            "cores": cores,
-            "label": levels[cores][1],
-            "seconds": round(best_dt, 2),
-            "events_per_sec": round(rows / best_dt),
-            "all_seconds": [round(d, 2) for d, _ in samples],
-            "clean_seconds": [round(d, 2) for d, _ in clean[cores]],
+                pr = max(pr, probe_rate())
+            probes.append(pr)
+        rel = [round(pr / _BEST_PROBE, 3) for pr in probes]
+        clean = min(rel) >= 0.8
+        eff = results[high_cores]["events_per_sec"] / (
+            (high_cores / low_cores) * results[low_cores]["events_per_sec"]
+        )
+        # Per-window host ceilings: ONE interleaved trial each (the 3-trial
+        # version runs once for the headline; this captures whether THIS
+        # window's ceiling binds below the target).
+        cpu_c = host_cpu_ceiling(low_cores, high_cores, trials=1)
+        bw_c = host_mem_bandwidth_ceiling(low_cores, high_cores, trials=1)
+        win = {
+            "window": w,
+            "order": [levels[c][1] for c in order],
+            "low_s": results[low_cores]["seconds"],
+            "high_s": results[high_cores]["seconds"],
+            "low_events_per_sec": results[low_cores]["events_per_sec"],
+            "high_events_per_sec": results[high_cores]["events_per_sec"],
+            "eff": round(eff, 3),
+            "probes_rel": rel,
+            "clean": clean,
+            "cpu_ceiling": round(cpu_c, 3),
+            "membw_ceiling": round(bw_c, 3),
+            "eff_normalized_membw": round(eff / bw_c, 3) if bw_c else 0.0,
+            "low_phases": results[low_cores]["epoch_phases"],
+            "high_phases": results[high_cores]["epoch_phases"],
         }
-    raw = results[high_cores]["events_per_sec"] / (
-        (high_cores / low_cores) * results[low_cores]["events_per_sec"]
-    )
+        windows.append(win)
+        log(f"scaling[{mode}] window {w}: low {win['low_s']}s high {win['high_s']}s"
+            f" eff {win['eff']} probes {rel} {'CLEAN' if clean else 'noisy'}"
+            f" ceilings cpu {win['cpu_ceiling']} membw {win['membw_ceiling']}")
+        w += 1
+
+    gated = [win for win in windows if win["clean"]] or windows
+    effs = sorted(win["eff"] for win in gated)
+    best_w = max(gated, key=lambda win: win["eff"])
+    # pick the representative (median-eff) window for the low/high headline
+    med_w = gated[
+        [win["eff"] for win in gated].index(effs[len(effs) // 2])
+    ]
     cpu_ceiling = host_cpu_ceiling(low_cores, high_cores)
     bw_ceiling = host_mem_bandwidth_ceiling(low_cores, high_cores)
-    # The merge's cost is a mix of compute (hash agg, codegen expressions)
-    # and memory traffic (parquet decode, shuffle); the single-box ceiling
-    # for the mix lies between the two measured resource ceilings.
-    norm_cpu = raw / cpu_ceiling if cpu_ceiling else 0.0
-    norm_bw = raw / bw_ceiling if bw_ceiling else 0.0
-    log(
-        f"scaling: raw eff {raw:.3f}; host ceilings cpu {cpu_ceiling:.3f} / "
-        f"membw {bw_ceiling:.3f}; normalized {norm_cpu:.3f} (cpu) {norm_bw:.3f} (membw)"
-    )
-    return {
+    med_eff = statistics.median(effs)
+    out = {
         "mode": mode,
-        "epoch_events": big,
-        "low": results[low_cores],
-        "high": results[high_cores],
-        "efficiency_raw": round(raw, 3),
+        "methodology": "paired interleaved windows; clean = all 3 membw "
+                       "probes (before/between/after) >= 0.8 of best; "
+                       "headline = median/best over clean windows",
+        "epoch_events": per_epoch,
+        "pipelined_epochs_per_level": PIPE_EPOCHS,
+        "windows": windows,
+        "clean_windows": sum(1 for win in windows if win["clean"]),
+        "low": {
+            "cores": low_cores,
+            "label": levels[low_cores][1],
+            "seconds": med_w["low_s"],
+            "events_per_sec": med_w["low_events_per_sec"],
+        },
+        "high": {
+            "cores": high_cores,
+            "label": levels[high_cores][1],
+            "seconds": med_w["high_s"],
+            "events_per_sec": med_w["high_events_per_sec"],
+        },
+        "efficiency_raw": round(med_eff, 3),
+        "efficiency_median": round(med_eff, 3),
+        "efficiency_best": round(best_w["eff"], 3),
         "host_cpu_scaling_ceiling": round(cpu_ceiling, 3),
         "host_membw_scaling_ceiling": round(bw_ceiling, 3),
-        "efficiency_normalized_cpu": round(norm_cpu, 3),
-        "efficiency_normalized_membw": round(norm_bw, 3),
+        "efficiency_normalized_cpu": round(med_eff / cpu_ceiling, 3) if cpu_ceiling else 0.0,
+        "efficiency_normalized_membw": round(med_eff / bw_ceiling, 3) if bw_ceiling else 0.0,
     }
+    log(f"scaling[{mode}]: median eff {out['efficiency_median']} best "
+        f"{out['efficiency_best']} over {out['clean_windows']} clean windows;"
+        f" ceilings cpu {out['host_cpu_scaling_ceiling']}"
+        f" membw {out['host_membw_scaling_ceiling']}")
+    return out
 
 
 def bench_scan_scaling(events_path: str, rounds: int = 3) -> dict:
@@ -520,21 +591,34 @@ def bench_queries(spark, rounds: int = 3) -> dict[str, float]:
 
 
 def _scaling_table(scaling: dict) -> list[str]:
-    return [
-        "| level | wall s | change-events/sec | all rounds (s) |",
-        "| --- | --- | --- | --- |",
-        f"| {scaling['low']['label']} | {scaling['low']['seconds']} | {scaling['low']['events_per_sec']:,} | {scaling['low']['all_seconds']} |",
-        f"| {scaling['high']['label']} | {scaling['high']['seconds']} | {scaling['high']['events_per_sec']:,} | {scaling['high']['all_seconds']} |",
+    lines = [
+        f"{scaling['pipelined_epochs_per_level']} pipelined epochs x "
+        f"{scaling['epoch_events']:,} events per level per window; a window "
+        "is CLEAN when all three membw probes (before / between levels / "
+        "after) read >= 0.8 of the best rate this run. Per-window host "
+        "ceilings are one-trial N-vs-4N process-scaling samples (CPU burn, "
+        "DRAM memcpy) — what this shared box could express in that window.",
         "",
-        f"Clean epochs (pre+post noise probes >= 0.8 of best window): "
-        f"low {scaling['low'].get('clean_seconds', [])}, "
-        f"high {scaling['high'].get('clean_seconds', [])}.",
-        "",
-        f"Raw efficiency thr_4N / (4·thr_N): **{scaling['efficiency_raw']}**"
-        f" (host ceilings this window: cpu {scaling['host_cpu_scaling_ceiling']},"
-        f" membw {scaling['host_membw_scaling_ceiling']}; normalized"
-        f" {scaling['efficiency_normalized_cpu']} / {scaling['efficiency_normalized_membw']}).",
+        "| window | order | N wall s | 4N wall s | eff | probes (rel) | clean | cpu ceil | membw ceil |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
+    for w in scaling["windows"]:
+        lines.append(
+            f"| {w['window']} | {'→'.join(w['order'])} | {w['low_s']} | {w['high_s']} "
+            f"| {w['eff']} | {w['probes_rel']} | {'yes' if w['clean'] else 'no'} "
+            f"| {w['cpu_ceiling']} | {w['membw_ceiling']} |"
+        )
+    lines += [
+        "",
+        f"**Median raw efficiency over {scaling['clean_windows']} clean "
+        f"windows: {scaling['efficiency_median']}; best: "
+        f"{scaling['efficiency_best']}** (run-level host ceilings: cpu "
+        f"{scaling['host_cpu_scaling_ceiling']}, membw "
+        f"{scaling['host_membw_scaling_ceiling']}; median normalized "
+        f"{scaling['efficiency_normalized_cpu']} / "
+        f"{scaling['efficiency_normalized_membw']}).",
+    ]
+    return lines
 
 
 def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries: dict[str, float], scan: dict | None = None) -> None:
@@ -558,9 +642,11 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         "",
         f"Merge epochs of {scaling_exec['epoch_events']:,} events per level (large",
         "enough that the ~2-5s/epoch serial driver cost — scheduling, manifest",
-        "commit — is under ~10%), same input, interleaved rounds, best round per",
-        "level. `local-cluster[n,8,m]` forks n REAL executor JVMs (separate",
-        "processes, RPC, inter-process shuffle) — one vs four 8-core executors:",
+        "commit — is under ~10%), same input every window. `local-cluster[n,8,m]`",
+        "forks n REAL executor JVMs (separate processes, RPC, inter-process",
+        "shuffle) — one vs four 8-core executors. Each level runs its epochs",
+        "PIPELINED (the next epoch's stats aggregation overlaps the current",
+        "epoch's wide write on a FAIR pool — engine.replay_pipelined):",
         "",
         *_scaling_table(scaling_exec),
         "",
@@ -601,28 +687,31 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         "per-epoch manifest commit (~1 ms measured), amortized over",
         "O(10^8)-event microbatches at the north-rule scale.",
         "",
-        "**Per-phase attribution** (MergeStats.phases, logged per epoch above):",
-        "an epoch = `stats` (one narrow column-pruned aggregation over",
-        "(keys, bucket, lineage, lsn) + ONE driver collect via grouping sets)",
-        "+ `write` (the map-only wide pass: full-payload scan, long-pair",
-        "broadcast prefilter, fused winner/contested aggregation, dirty-bucket",
-        "rewrite) + `commit` (manifest swap, ~1 ms). Round 3 removed a second",
-        "full scan (the lineage probe), one broadcast build (the stale set),",
-        "one anti-join and one winner shuffle per epoch versus round 2.",
+        "**Per-phase attribution** (MergeStats.phases, recorded per epoch in",
+        "the windows above): an epoch = `stats` (one narrow column-pruned",
+        "aggregation over (keys, bucket, lineage, lsn) + ONE driver collect",
+        "via grouping sets) + `write` (the map-only wide pass: full-payload",
+        "scan, long-pair broadcast prefilter, fused winner/contested",
+        "aggregation, dirty-bucket rewrite) + `commit` (manifest swap, ~1 ms).",
+        "Round 3 removed a second full scan (the lineage probe), one broadcast",
+        "build (the stale set), one anti-join and one winner shuffle per epoch.",
+        "Round 4 takes the stats phase OFF the critical path: from the second",
+        "epoch of a pipelined run, `prep_wall`/`prep_overlap` in the window",
+        "phases show the next epoch's stats running concurrently under the",
+        "current epoch's write — the steady-state epoch cost is the write",
+        "phase alone.",
         "",
-        "**Noise reality on this host** (round-3 measurement day): identical",
-        "lc4 epochs measured 29.1s (3.3M ev/s, verified-quiet window,",
-        "tools/profile_scaling.py) and 205.7s (mid-epoch co-tenant burst) an",
-        "hour apart — a 7x swing with no code change. An A/B in one window",
-        "(round-2 code vs round-3 code, back-to-back lc4 epochs) showed both",
-        "inside the same noise band. Multi-JVM levels are hyper-sensitive to",
-        "bursts (a descheduled GC thread pauses that executor's 8 task",
-        "threads), and freeing 4x9 GB of executor heap depresses the",
-        "bandwidth probe itself for tens of seconds after teardown (the",
-        "post-probe now retries past that transient). Best quiet-window",
-        "executor pair this round: lc1 ~43-48s vs lc4 29.1s -> raw N->4N",
-        "efficiency ~0.37-0.41, ~0.5 normalized by the measured same-box DRAM",
-        "ceiling below.",
+        "**Noise reality on this host**: identical lc4 epochs have measured",
+        "29.1s (verified-quiet window) and 205.7s (mid-epoch co-tenant burst)",
+        "an hour apart — a 7x swing with no code change; multi-JVM levels are",
+        "hyper-sensitive to bursts (a descheduled GC thread pauses that",
+        "executor's 8 task threads), and freeing 4x9 GB of executor heap",
+        "depresses the bandwidth probe itself for tens of seconds after",
+        "teardown (the post-probes retry past that transient). The windowed",
+        "methodology above is the answer: BOTH levels measured back-to-back",
+        "inside one probe-gated window, the full per-window distribution",
+        "published, and the headline taken as the median over clean windows",
+        "— reproducible by re-running `python bench.py`, not an anecdote.",
         "",
         "On THIS box, all executors — threads or processes — share one memory",
         "system and a hypervisor with co-tenant load; the measured DRAM-bandwidth",
