@@ -73,6 +73,7 @@ def streaming_lww_dedup(
     events: DataFrame,
     key_cols: list[str] | None = None,
     lsn_col: str = "offset",
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Suppress events at-or-below each key's LSN high watermark.
 
@@ -86,13 +87,39 @@ def streaming_lww_dedup(
     dropDuplicates — state is O(keys) longs, never a set of seen IDs, so it
     holds at 10^9 keys (state store scales horizontally with shuffle
     partitions; checkpointed with the query).
+
+    ``idle_ttl_ms`` bounds the state for UNBOUNDED key spaces (UUID keys,
+    one-shot paths): a key idle for that long has its watermark dropped via
+    processing-time timeout, so the store tracks only the working set
+    instead of growing monotonically. Eviction is SAFE here, not lossy: an
+    evicted key's next event passes unconditionally (its watermark is
+    forgotten), and the downstream LWW merge — which orders on the LSN
+    itself — is the correctness backstop for any stale event the filter no
+    longer recognizes. The TTL therefore trades a little duplicate
+    *suppression* (bandwidth), never correctness. Default ``None`` keeps
+    watermarks forever — right for closed key sets like a repo table.
+
+    The TTL needs a RECURRING trigger (``processingTime``/continuous):
+    processing-time timeouts cannot fire under ``availableNow``/``once`` —
+    measured on Spark 4.1: the engine keeps scheduling empty catch-up
+    batches and the query never terminates. Leave ``idle_ttl_ms=None`` for
+    drain-style runs.
     """
     keys = list(key_cols) if key_cols else ["key"]
     out_schema = events.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if idle_ttl_ms is not None and state.hasTimedOut:
+            # idle-key eviction: drop the watermark; emit nothing
+            state.remove()
+            return
         max_lsn = state.get[0] if state.exists else None
         for pdf in pdfs:
             # keep='last' drops in-chunk duplicate deliveries of the same
@@ -109,13 +136,16 @@ def streaming_lww_dedup(
                 yield pdf
         if max_lsn is not None:
             state.update((max_lsn,))
+            if idle_ttl_ms is not None:
+                # re-arm the idle clock on every batch that touches the key
+                state.setTimeoutDuration(idle_ttl_ms)
 
     return events.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         dedup,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
