@@ -590,6 +590,57 @@ def bench_queries(spark, rounds: int = 3) -> dict[str, float]:
     return times
 
 
+def bench_ann_recall(spark) -> dict:
+    """recall@5 of the ANN paths vs brute-force ground truth at SF_DIR.
+
+    Reported per the criterion, with the two knobs swept: multi-table LSH
+    (tables x planes) and IVF (first-K untrained vs Lloyd-trained codebook,
+    n_probe 1-3). Ground truth is the exact broadcast brute-force top-5 on
+    the same query/candidate splits the driver gate queries use.
+    """
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from kafka_connect_plugins_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def split(qlo, qhi, clo):
+        q = emb.filter((F.col("vec_id") >= qlo) & (F.col("vec_id") < qhi)).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        c = emb.filter(F.col("vec_id") >= clo).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+        )
+        return q, c
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    out = {}
+    q, c = split(0, 5, 5)  # the q_ann_lsh split
+    truth = pairs(similarity.brute_force_topk(q, c, k=5))
+    for b, tables in ((entry.N_PLANES, 1), (4, 8), (entry.LSH_PLANES, entry.LSH_TABLES)):
+        got = pairs(similarity.lsh_topk(q, c, n_planes=b, dim=entry.EMB_DIM, k=5, n_tables=tables))
+        out[f"lsh_p{b}_t{tables}"] = round(len(got & truth) / len(truth), 3)
+
+    q, c = split(8, 16, 16)  # the q_ann_ivf split
+    truth = pairs(similarity.brute_force_topk(q, c, k=5))
+    first_k = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in emb.filter(F.col("vec_id") < entry.N_CENTROIDS).collect()
+    ]
+    trained = similarity.train_ivf_centroids(emb, "e", k=10, iters=10, id_col="vec_id")
+    for label, cents in (("firstk8", first_k), ("trained10", trained)):
+        for n_probe in (1, 2, 3):
+            got = pairs(similarity.ivf_topk(q, c, cents, k=5, n_probe=n_probe))
+            out[f"ivf_{label}_probe{n_probe}"] = round(len(got & truth) / len(truth), 3)
+    log(f"ann recall@5: {out}")
+    return out
+
+
 def _scaling_table(scaling: dict) -> list[str]:
     lines = [
         f"{scaling['pipelined_epochs_per_level']} pipelined epochs x "
@@ -621,7 +672,7 @@ def _scaling_table(scaling: dict) -> list[str]:
     return lines
 
 
-def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries: dict[str, float], scan: dict | None = None) -> None:
+def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries: dict[str, float], scan: dict | None = None, ann_recall: dict | None = None) -> None:
     lo, hi = replay["low"], replay["high"]
     lines = [
         "# BENCH — measured on this container (local mode, tmpfs I/O)",
@@ -756,6 +807,28 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
     lines += [f"| {k} | {v} |" for k, v in sorted(queries.items())]
     lines += [
         "",
+        *(
+            [
+                "## ANN recall@5 vs exact brute force (same splits as the gate queries)",
+                "",
+                "| variant | recall@5 |",
+                "| --- | --- |",
+                *[f"| {k} | {v} |" for k, v in ann_recall.items()],
+                "",
+                "The corpus's true top-5 neighbors sit at cosine ~0.4 (weak",
+                "signal: per-plane agreement p~0.63), so a single 8-plane LSH",
+                "table is structurally blind (p^8 ~ 2%) — the multi-table",
+                "geometry (10 tables x 3 planes, one fused matmul per batch) is",
+                "what reaches the reported recall. IVF coarse quantization is",
+                "bounded by how well the 10 weak clusters align with top-5",
+                "neighborhoods; the trained (Lloyd) codebook beats first-K at",
+                "equal n_probe, and recall rises with n_probe at linear scan",
+                "cost — the standard IVF trade, measured not guessed.",
+                "",
+            ]
+            if ann_recall
+            else []
+        ),
         "`media_features` note: round 2's 1.10 s was measurement noise — warm",
         "best-of-4 is 0.55 s with `spread()` and 0.32 s without. The ~0.24 s",
         "delta is the round-robin exchange `spread` pays on a 1-partition scan",
@@ -778,12 +851,13 @@ def main() -> None:
         scan_scaling = bench_scan_scaling(events_path)
         spark = _session(CPUS)
         queries = bench_queries(spark)
+        ann_recall = bench_ann_recall(spark)
         spark.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     if not any(k.startswith("SPARK_GRAFT_BENCH_") for k in os.environ):
-        write_bench_md(replay, scaling_exec, scaling_thr, queries, scan_scaling)
+        write_bench_md(replay, scaling_exec, scaling_thr, queries, scan_scaling, ann_recall)
     else:
         log("bench sizes overridden via env; NOT refreshing BENCH.md")
     best = max(
@@ -800,6 +874,7 @@ def main() -> None:
         "scaling_executors": scaling_exec,
         "scaling_threads": scaling_thr,
         "scaling_scan": scan_scaling,
+        "ann_recall_at_5": ann_recall,
         "total_query_sec": round(sum(queries.values()), 2),
     }
     print(json.dumps(out))

@@ -118,23 +118,27 @@ def np_l2_norm(a: Column) -> Column:
     return _np_l2_norm_udf()(a)
 
 
-def hyperplane_components(plane: int, dim: int) -> list[float]:
+def hyperplane_components(plane: int, dim: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random hyperplane, computed driver-side:
     component i of plane p is ``(sha256-hash60("plane{p}:{i}") % 2001 - 1000)
     / 1000`` ∈ [-1, 1] — bit-identical to the SQL-oracle formulation
     (``conv(substring(sha2(...), 1, 15), 16, 10) % 2001 - 1000) / 1000``),
-    so buckets reproduce in any engine with sha256."""
+    so buckets reproduce in any engine with sha256. ``table`` salts the
+    seed (``t{T}:plane{p}:{i}``) for independent multi-table LSH planes;
+    table 0 keeps the original seed for backward compatibility."""
+    seed = f"plane{plane}:" if table == 0 else f"t{table}:plane{plane}:"
     return [
-        (int(hashlib.sha256(f"plane{plane}:{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        (int(hashlib.sha256(f"{seed}{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
         / 1000.0
         for i in range(dim)
     ]
 
 
 @lru_cache(maxsize=32)
-def _rhp_bucket_udf(n_planes: int, dim: int):
+def _rhp_bucket_udf(n_planes: int, dim: int, table: int = 0):
     planes_t = np.array(
-        [hyperplane_components(p, dim) for p in range(n_planes)], dtype=np.float64
+        [hyperplane_components(p, dim, table) for p in range(n_planes)],
+        dtype=np.float64,
     ).T  # (dim, n_planes)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
@@ -147,20 +151,52 @@ def _rhp_bucket_udf(n_planes: int, dim: int):
     return bucket
 
 
-def rhp_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+def rhp_bucket(vec: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     """Random-hyperplane LSH bucket: ``sum(2^p for planes with v·h_p > 0)``.
 
     One (batch × dim) @ (dim × planes) matmul + a sign-bit pack per Arrow
     batch — map-only, no shuffle, no per-row Python."""
-    return _rhp_bucket_udf(n_planes, dim)(vec)
+    return _rhp_bucket_udf(n_planes, dim, table)(vec)
 
 
-def rhp_bucket_column(vec: Column, n_planes: int, dim: int) -> Column:
+@lru_cache(maxsize=32)
+def _rhp_buckets_multi_udf(n_planes: int, dim: int, n_tables: int):
+    planes_t = np.array(
+        [
+            hyperplane_components(p, dim, t)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, n_tables * n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        bits = _mat(v) @ planes_t > 0  # (rows, T*b) in ONE matmul
+        packed = bits.reshape(len(v), n_tables, n_planes) @ weights
+        return pd.Series(list(packed))
+
+    return buckets
+
+
+def rhp_buckets_multi(vec: Column, n_planes: int, dim: int, n_tables: int) -> Column:
+    """All ``n_tables`` independent LSH bucket signatures in ONE matmul per
+    Arrow batch — the multi-table recall amplifier (candidate if ANY table's
+    bucket collides: P(hit) = 1 - (1 - p^b)^T for per-plane agreement p).
+    Returns ``array<long>`` of length ``n_tables``; table t's planes are
+    salted with ``t{t}:`` so the SQL oracle reproduces every table."""
+    return _rhp_buckets_multi_udf(n_planes, dim, n_tables)(vec)
+
+
+def rhp_bucket_column(vec: Column, n_planes: int, dim: int, table: int = 0) -> Column:
     """Pure-Column reference formulation of :func:`rhp_bucket` (literal
     hyperplanes folded driver-side). Interpreted HOF lambdas — keep it for
     parity tests, never on the hot path."""
     planes = [
-        F.array(*[F.lit(x).cast("double") for x in hyperplane_components(p, dim)])
+        F.array(*[F.lit(x).cast("double") for x in hyperplane_components(p, dim, table)])
         for p in range(n_planes)
     ]
     vec_d = F.transform(vec, lambda x: x.cast("double"))
@@ -227,27 +263,66 @@ def lsh_topk(
     cand_id: str = "neighbor_id",
     query_vec: str = "qe",
     cand_vec: str = "ce",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, but only within the RHP bucket.
+    """Approximate top-k: exact cosine, but only within colliding RHP
+    buckets.
 
-    Recall is tunable via ``n_planes`` (fewer planes = bigger buckets =
-    higher recall, more work). At cluster scale the bucket equi-join shuffles
-    both sides on the bucket key once; bucket skew is bounded by 2^n_planes.
+    Two recall knobs, the classic LSH geometry:
+
+    - ``n_planes`` (bits per table): fewer planes = bigger buckets = higher
+      recall per table, more candidates. Bucket count is ``2^n_planes``.
+    - ``n_tables`` (independent tables): a pair is a candidate if ANY
+      table's bucket collides — recall ``1 - (1 - p^b)^T`` for per-plane
+      agreement ``p = 1 - θ/π``. For moderate-similarity neighbors (cosine
+      ~0.4 → p ≈ 0.63) a single 8-plane table catches ~2% of true
+      neighbors; 6 tables × 3 planes catch ~85% (measured sweep in
+      BENCH.md). Memory/scan cost grows linearly in T, the standard trade.
+
+    All ``T × b`` signatures come from ONE matmul per Arrow batch
+    (:func:`rhp_buckets_multi`). The candidate side never shuffles: it
+    probes the broadcast query side per (table, bucket); pairs colliding in
+    several tables are deduped AFTER scoring (exact sim is deterministic,
+    so the dedup is a small exchange over candidate pairs only).
     """
-    qb = queries.withColumn("__bucket", rhp_bucket(F.col(query_vec), n_planes, dim)).withColumn(
-        "__qn", l2_norm(F.col(query_vec))
-    )
-    cb = spread(candidates).withColumn(
-        "__bucket", rhp_bucket(F.col(cand_vec), n_planes, dim)
+    if n_tables <= 1:
+        qb = queries.withColumn(
+            "__bucket", rhp_bucket(F.col(query_vec), n_planes, dim)
+        ).withColumn("__qn", l2_norm(F.col(query_vec)))
+        cb = spread(candidates).withColumn(
+            "__bucket", rhp_bucket(F.col(cand_vec), n_planes, dim)
+        ).withColumn("__cn", l2_norm(F.col(cand_vec)))
+        # ANN serving shape: the query batch is small — broadcast it and the
+        # candidate side NEVER moves (no bucket shuffle of the corpus; each
+        # task probes its own splits). For corpus-x-corpus pair mining use
+        # the symmetric bucket equi-join instead (q_embedding_neardup_lsh).
+        # Norms precomputed per ROW (not per pair) — see brute_force_topk.
+        sims = cb.join(F.broadcast(qb), "__bucket").withColumn(
+            "sim",
+            dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
+        )
+        return _topk(sims, k, query_id, cand_id)
+    qb = queries.select(
+        "*",
+        F.posexplode(
+            rhp_buckets_multi(F.col(query_vec), n_planes, dim, n_tables)
+        ).alias("__tbl", "__bucket"),
+    ).withColumn("__qn", l2_norm(F.col(query_vec)))
+    cb = spread(candidates).select(
+        "*",
+        F.posexplode(
+            rhp_buckets_multi(F.col(cand_vec), n_planes, dim, n_tables)
+        ).alias("__tbl", "__bucket"),
     ).withColumn("__cn", l2_norm(F.col(cand_vec)))
-    # ANN serving shape: the query batch is small — broadcast it and the
-    # candidate side NEVER moves (no bucket shuffle of the corpus; each task
-    # probes its own splits). For corpus-x-corpus pair mining use the
-    # symmetric bucket equi-join instead (q_embedding_neardup_lsh).
-    # Norms precomputed per ROW (not per pair) — see brute_force_topk.
-    sims = cb.join(F.broadcast(qb), "__bucket").withColumn(
-        "sim",
-        dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
+    sims = (
+        cb.join(F.broadcast(qb), ["__tbl", "__bucket"])
+        .withColumn(
+            "sim",
+            dot(F.col(query_vec), F.col(cand_vec)) / (F.col("__qn") * F.col("__cn")),
+        )
+        # a pair colliding in several tables appears once per table; its
+        # exact sim is identical, so any-row dedup is correct
+        .dropDuplicates([query_id, cand_id])
     )
     return _topk(sims, k, query_id, cand_id)
 
@@ -287,6 +362,79 @@ def ivf_assign(
     return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
+def ivf_assign_probes(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    n_probe: int,
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Top-``n_probe`` nearest-centroid assignment, EXPLODED to one row per
+    probed list — the query-side multi-probe of an IVF search. Map-only:
+    one matmul + one partial argsort per Arrow batch, then a generator
+    explode (no shuffle). Probe order ties break to the higher centroid id,
+    matching :func:`ivf_assign` and the SQL oracle's ``ORDER BY sim DESC,
+    cid DESC``."""
+    n_probe = min(n_probe, len(centroids))
+    ordered = sorted(centroids, key=lambda c: -int(c[0]))
+    cids = np.array([int(c) for c, _ in ordered], dtype=np.int64)
+    cmat = np.array([v for _, v in ordered], dtype=np.float64)
+    cmat_t = (cmat / np.linalg.norm(cmat, axis=1, keepdims=True)).T
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        x = _mat(v)
+        sims = (x @ cmat_t) / np.linalg.norm(x, axis=1, keepdims=True)
+        # argsort descending is stable on the id-descending column order,
+        # reproducing the (sim DESC, cid DESC) tiebreak
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cids[top]))
+
+    return df.withColumn(out_col, F.explode(probes(F.col(vec_col))))
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    iters: int = 10,
+    sample_limit: int = 65536,
+    id_col: str | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means codebook over a bounded sample.
+
+    The codebook is a DIM TABLE (k × dim floats): training collects a
+    driver-side sample — ordered by ``id_col`` when given so the sample is
+    reproducible — and runs spherical k-means (cosine assignment, mean
+    update, renormalize) in NumPy. At 10^9 vectors the sample bound keeps
+    the collect constant-size; the expensive part of an IVF build is the
+    full-corpus ASSIGNMENT, which stays the map-only batched argmax of
+    :func:`ivf_assign`. Initialization is the first ``k`` sample vectors —
+    deterministic, no RNG — so repeated builds (and resumed pipelines)
+    produce byte-identical codebooks. Returns ``[(0, vec), ..., (k-1, vec)]``.
+    """
+    q = df.select(F.col(vec_col).alias("v"))
+    if id_col is not None:
+        q = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).orderBy("i")
+    rows = q.limit(sample_limit).collect()
+    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    cent = xn[:k].copy()
+    for _ in range(iters):
+        sims = xn @ cent.T
+        asg = np.argmax(sims, axis=1)
+        for j in range(k):
+            members = xn[asg == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[j] = m / n
+    return [(j, list(cent[j])) for j in range(k)]
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -296,9 +444,13 @@ def ivf_topk(
     cand_id: str = "neighbor_id",
     query_vec: str = "qe",
     cand_vec: str = "ce",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF search (n_probe=1): exact cosine within the query's posting list."""
-    qa = ivf_assign(queries, centroids, query_vec).withColumn(
+    """IVF search: exact cosine within the query's ``n_probe`` nearest
+    posting lists. Candidates live in exactly ONE list (standard IVF), so
+    multi-probe never duplicates a (query, neighbor) pair — recall rises
+    with ``n_probe`` at proportional scan cost, the classic IVF knob."""
+    qa = ivf_assign_probes(queries, centroids, query_vec, n_probe).withColumn(
         "__qn", l2_norm(F.col(query_vec))
     )
     ca = ivf_assign(spread(candidates), centroids, cand_vec).withColumn(

@@ -172,3 +172,108 @@ def test_np_dot_and_norm_match_column_folds(spark):
     for r in out:
         assert abs(r["nd"] - r["cd"]) < 1e-9
         assert abs(r["nn"] - r["cn"]) < 1e-9
+
+
+def test_ivf_multi_probe_improves_recall_and_is_superset(spark):
+    from kafka_connect_plugins_spark.operators.similarity import ivf_topk
+
+    df, dim = _random_vecs(spark, n=300, seed=23)
+    cents = [
+        (int(r["vec_id"]), list(r["e"]))
+        for r in df.filter(F.col("vec_id") < 6).collect()
+    ]
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = df.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, c, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(q, c, cents, k=5, n_probe=n_probe).collect()
+        }
+        return len(got & truth) / len(truth), got
+
+    r1, got1 = recall(1)
+    r6, got6 = recall(6)  # probe every list == exact search
+    assert r6 == 1.0
+    assert r6 >= r1
+    # no duplicate (query, neighbor) pairs under multi-probe
+    rows = ivf_topk(q, c, cents, k=300, n_probe=3).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_train_ivf_centroids_deterministic_and_better_than_first_k(spark):
+    import numpy as np
+
+    from kafka_connect_plugins_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df, dim = _random_vecs(spark, n=400, seed=31)
+    a = train_ivf_centroids(df, "e", k=8, iters=8, id_col="vec_id")
+    b = train_ivf_centroids(df, "e", k=8, iters=8, id_col="vec_id")
+    assert a == b  # byte-identical codebooks on re-runs
+    assert [cid for cid, _ in a] == list(range(8))
+
+    x = np.array([list(r["e"]) for r in df.orderBy("vec_id").collect()])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def mean_best_sim(cents):
+        c = np.array([v for _, v in cents])
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return (xn @ c.T).max(axis=1).mean()
+
+    first_k = [(i, list(x[i])) for i in range(8)]
+    # training must not be worse than the untrained codebook it started from
+    assert mean_best_sim(a) >= mean_best_sim(first_k) - 1e-12
+
+
+def test_rhp_buckets_multi_matches_per_table_reference(spark):
+    from kafka_connect_plugins_spark.operators.similarity import (
+        rhp_bucket_column,
+        rhp_buckets_multi,
+    )
+
+    df, dim = _random_vecs(spark, n=64, seed=41)
+    n_tables, b = 4, 3
+    cols = [rhp_buckets_multi(F.col("e"), b, dim, n_tables).alias("multi")]
+    cols += [
+        rhp_bucket_column(F.col("e"), b, dim, table=t).alias(f"ref{t}")
+        for t in range(n_tables)
+    ]
+    for r in df.select(*cols).collect():
+        assert list(r["multi"]) == [r[f"ref{t}"] for t in range(n_tables)]
+
+
+def test_lsh_topk_multi_table_dedups_and_boosts_recall(spark):
+    from kafka_connect_plugins_spark.operators.similarity import lsh_topk
+
+    df, dim = _random_vecs(spark, n=300, seed=47)
+    q = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = df.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, c, k=5).collect()
+    }
+
+    def got(n_tables, n_planes):
+        rows = lsh_topk(q, c, n_planes=n_planes, dim=dim, k=5, n_tables=n_tables).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # multi-table collisions deduped
+        return set(pairs)
+
+    r1 = len(got(1, 4) & truth) / len(truth)
+    r8 = len(got(8, 4) & truth) / len(truth)
+    assert r8 >= r1  # more tables never lose candidates (same plane count)
