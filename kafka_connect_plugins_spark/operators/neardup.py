@@ -365,17 +365,23 @@ def connected_components(
     Plan per iteration: one shuffle to route each vertex's current label to
     its neighbours (edge join) and one min-aggregation — the classic
     Pregel-style step, converging in O(component diameter) rounds, which for
-    near-dup graphs (dense clumps, tiny diameter) is a handful. Labels are
-    persisted per round and the previous round unpersisted; lineage is
-    truncated with ``localCheckpoint`` so long runs cannot accumulate an
-    unbounded plan. At extreme scale swap the propagation step for the
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) — same interface, fewer
-    rounds on adversarial graphs; the propagation form is kept here because
-    its per-round plan is two narrow shuffles of (long, long) pairs.
+    near-dup graphs (dense clumps, tiny diameter) is a handful. The
+    symmetrized edge list is cached once (it is re-scanned every round);
+    labels are persisted per round and the previous round unpersisted;
+    lineage is truncated with ``localCheckpoint`` so long runs cannot
+    accumulate an unbounded plan. At extreme scale swap the propagation
+    step for the large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    interface, fewer rounds on adversarial graphs; the propagation form is
+    kept here because its per-round plan is two narrow shuffles of
+    (long, long) pairs.
 
-    Convergence is detected with a one-row count of changed labels per
-    round (driver receives a single long per iteration, never data).
+    Convergence is detected for FREE from label monotonicity: a round's new
+    label is ``min(old, neighbour labels)``, so the label SUM is strictly
+    decreasing until the fixpoint — one tiny aggregation over the (cached)
+    new labels per round (which also materializes the cache), no
+    changed-rows join. The sum runs in decimal(38,0): 10^9 long ids sum
+    past int64.
 
     Ids must be integral (byte/short/int/long): labels are longs and the
     cluster_id IS the minimum member id. A string/UUID id would cast to
@@ -404,11 +410,12 @@ def connected_components(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
     ).unionAll(
         edges.select(F.col(b).cast("long").alias("src"), F.col(a).cast("long").alias("dst"))
-    )
+    ).persist()
     labels = nodes.select(
         F.col(id_col).cast("long").alias("src"),
         F.col(id_col).cast("long").alias("label"),
     ).persist()
+    label_sum = None
     try:
         for _ in range(max_iterations):
             msgs = sym.join(labels, "src").select(
@@ -421,21 +428,20 @@ def connected_components(
                 .localCheckpoint(eager=False)
                 .persist()
             )
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("label", "old"), "src"
-                )
-                .filter(F.col("label") != F.col("old"))
-                .count()
-            )
+            new_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == label_sum:  # fixpoint: min-labels are monotone
                 break
+            label_sum = new_sum
         return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
     except Exception:
         labels.unpersist()
         raise
+    finally:
+        sym.unpersist()
 
 
 def dedup_clusters(
