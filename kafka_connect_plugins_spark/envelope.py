@@ -46,6 +46,12 @@ HEADER_LIST_TYPE = T.ArrayType(
     )
 )
 
+# Optional envelope column carrying the FULL ordered multi-map (Kafka's real
+# header shape). Sources attach it via ``envelope_schema(header_list=True)``
+# / ``changelog(header_list=True)``; header-reading operators resolve keys
+# through :func:`header_column`, which prefers this column when present.
+HEADER_LIST_COL = "headers_list"
+
 
 def last_with_name(headers: Column, key: str) -> Column:
     """Kafka's ``Headers.lastWithName(key)`` over an
@@ -58,6 +64,22 @@ def last_with_name(headers: Column, key: str) -> Column:
     return F.try_element_at(
         F.filter(headers, lambda h: h["key"] == F.lit(key)), F.lit(-1)
     )["value"]
+
+
+def header_column(df, key: str) -> Column:
+    """Shape-aware ``lastWithName(key)`` for an envelope DataFrame.
+
+    When the envelope carries the full ordered multi-map
+    (:data:`HEADER_LIST_COL`), that column is authoritative — duplicate keys
+    resolve to the genuinely LAST entry exactly as
+    ``Headers.lastWithName`` does (ModifyPartition.kt:36). Otherwise the
+    map column's lookup applies (already last-wins at map construction).
+    The two shapes agree whenever both are present by the map's
+    construction contract (:func:`header_list_to_map`).
+    """
+    if HEADER_LIST_COL in df.columns:
+        return last_with_name(F.col(HEADER_LIST_COL), key)
+    return F.col("headers").getItem(key)
 
 
 def header_list_to_map(headers: Column) -> Column:
@@ -87,7 +109,9 @@ METADATA_TIMESTAMP = "_kafka_metadata_timestamp"
 
 
 def envelope_schema(
-    value_type: T.DataType, key_type: T.DataType | None = None
+    value_type: T.DataType,
+    key_type: T.DataType | None = None,
+    header_list: bool = False,
 ) -> T.StructType:
     """Full envelope schema for a given payload struct type.
 
@@ -97,10 +121,16 @@ def envelope_schema(
     RedShiftComplexDataTypeTransformer.kt:206-208 stringifies any key into
     ``topic_key``), and so does every stage here (see
     :func:`kafka_connect_plugins_spark.functions.strings.stringify_any`).
+
+    ``header_list=True`` appends the :data:`HEADER_LIST_COL` column
+    (``array<struct<key,value>>``) so the source round-trips Kafka's ordered
+    multi-map — duplicate header keys included — not just the collapsed map.
     """
     fields = list(ENVELOPE_FIELDS)
     if key_type is not None:
         fields = [
             T.StructField("key", key_type, True) if f.name == "key" else f for f in fields
         ]
+    if header_list:
+        fields = fields + [T.StructField(HEADER_LIST_COL, HEADER_LIST_TYPE, True)]
     return T.StructType(fields + [T.StructField("value", value_type, True)])

@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintenance: fold pending merge-on-read deltas, then exit")
     p.add_argument("--expire-keep", type=int, default=None,
                    help="maintenance: expire all but the newest N snapshots, then exit")
+    p.add_argument("--purge-below-watermark", action="store_true",
+                   help="maintenance: drop delete markers below the ingest's "
+                        "min per-partition applied-LSN watermark (from the "
+                        "metrics log), then exit")
     args = p.parse_args(argv)
 
     from kafka_connect_plugins_spark.engine import create_repo_table
@@ -108,10 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     else:
         table = LakeTable.load(spark, args.table)
 
-    if args.compact or args.expire_keep is not None:
+    if args.compact or args.expire_keep is not None or args.purge_below_watermark:
         out = {}
         if args.compact:
             out["compacted_buckets"] = table.compact()
+        if args.purge_below_watermark:
+            metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
+            out["purge"] = table.purge_below_watermark(metrics, args.stream_id)
         if args.expire_keep is not None:
             out.update(table.expire_snapshots(keep_last=args.expire_keep))
         print(json.dumps(out))

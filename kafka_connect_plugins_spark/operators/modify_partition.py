@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_connect_plugins_spark.config import ConfigDef, ConfigException
+from kafka_connect_plugins_spark.envelope import header_column
 from kafka_connect_plugins_spark.functions.hashing import crc32_pmod
 from kafka_connect_plugins_spark.operators.base import Stage
 
@@ -47,7 +48,10 @@ class ModifyPartition(Stage):
         self.fail_on_missing = config["fail.on.missing.header"]
 
     def apply(self, df: DataFrame) -> DataFrame:
-        header_val = F.col("headers").getItem(self.header_key)
+        # lastWithName over the full header multi-map when the envelope
+        # carries it (duplicate keys resolve to the genuinely last entry,
+        # ModifyPartition.kt:36); the map column's last-wins lookup otherwise.
+        header_val = header_column(df, self.header_key)
         routed = crc32_pmod(header_val, self.num_partitions)
         if self.fail_on_missing:
             # ModifyPartition.kt:42: missing header => ConnectException. raise_error
@@ -71,4 +75,4 @@ class ModifyPartition(Stage):
         # Pipeline.apply_with_dlq quarantine them instead of failing the task.
         if not self.fail_on_missing:
             return None
-        return F.col("headers").getItem(self.header_key).isNull()
+        return header_column(df, self.header_key).isNull()

@@ -1203,6 +1203,33 @@ class LakeTable:
         )
         return len(dirty)
 
+    def purge_below_watermark(self, metrics, stream_id: str | None = None) -> dict:
+        """Retention as an operational one-liner: purge delete markers the
+        ingest's own lineage proves dead.
+
+        ``metrics`` is the :class:`~kafka_connect_plugins_spark.streaming.MetricsLog`
+        the ingest wrote (or any object with ``high_watermarks(stream_id)``).
+        The safe purge bound is the MINIMUM per-source-partition applied-LSN
+        high watermark: source LSNs are monotone within a partition, so every
+        in-flight event for partition ``p`` carries ``lsn > hw[p] >= min_hw``
+        — a marker with ``lsn < min_hw`` can never shield anything again.
+        A marker exactly AT the watermark survives (``purge_tombstones`` is
+        strict-less-than): the event that wrote it may be re-delivered by an
+        at-least-once replay and must still find its shield.
+
+        Returns ``{"below_lsn", "buckets_rewritten", "partitions"}``; a
+        no-op (no recorded epochs yet) returns ``below_lsn = None``.
+        """
+        hw = metrics.high_watermarks(stream_id)
+        if not hw:
+            return {"below_lsn": None, "buckets_rewritten": 0, "partitions": 0}
+        below = min(hw.values())
+        return {
+            "below_lsn": below,
+            "buckets_rewritten": self.purge_tombstones(below_lsn=below),
+            "partitions": len(hw),
+        }
+
 
 def iceberg_merge_sql(table: str, source_view: str, keys: list[str], columns: list[str]) -> str:
     """The equivalent MERGE for a real Iceberg catalog (cluster deployment).

@@ -41,12 +41,20 @@ def changelog(
     hot_fraction: float = 0.3,
     num_partitions: int | None = None,
     envelope_partitions: int = 8,
+    header_list: bool = False,
 ) -> DataFrame:
     """Generate ``num_events`` change events in the envelope schema.
 
     Columns: topic, partition, offset (the commit-LSN, == event id),
     timestamp, key ("repo|path"), headers {account_id: repo}, value struct
     (repo, path, commit, lang, content, deleted_at).
+
+    ``header_list=True`` additionally carries the full ordered header
+    multi-map (``headers_list: array<struct<key,value>>``) with a DUPLICATE
+    ``account_id`` key — a stale first entry then the authoritative last one
+    — exercising Kafka's ``lastWithName`` resolution end-to-end: any
+    header-reading stage must route on the LAST entry, which by construction
+    equals the map column's value.
     """
     if num_repos < 2:
         raise ValueError("num_repos must be >= 2 (one hot repo + uniform rest)")
@@ -107,6 +115,24 @@ def changelog(
     env_part = F.pmod(
         F.crc32(F.concat_ws("|", repo, path_final)), F.lit(envelope_partitions)
     ).cast("int")
+    hlist = (
+        [
+            F.array(
+                F.struct(
+                    F.lit("account_id").alias("key"),
+                    F.concat(F.lit("stale-"), repo_idx.cast("string")).alias("value"),
+                ),
+                F.struct(
+                    F.lit("trace").alias("key"),
+                    F.sha2(i.cast("string"), 256).substr(1, 8).alias("value"),
+                ),
+                # last duplicate wins == the map column's value
+                F.struct(F.lit("account_id").alias("key"), repo.alias("value")),
+            ).alias("headers_list")
+        ]
+        if header_list
+        else []
+    )
     return rng.select(
         F.lit("repo-content.changes").alias("topic"),
         env_part.alias("partition"),
@@ -114,6 +140,7 @@ def changelog(
         ts.alias("timestamp"),
         F.concat_ws("|", repo, path_final).alias("key"),
         F.create_map(F.lit("account_id"), repo).alias("headers"),
+        *hlist,
         value.alias("value"),
     )
 

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_connect_plugins_spark.envelope import envelope_schema
+from kafka_connect_plugins_spark.envelope import (
+    HEADER_LIST_COL,
+    envelope_schema,
+    header_list_to_map,
+)
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -28,6 +32,7 @@ def parse_json_envelope(
     value_type: T.DataType,
     json_col: str = "value",
     keep_corrupt: bool = False,
+    header_list: bool = False,
 ) -> DataFrame:
     """Parse a raw-JSON string column into typed envelope columns.
 
@@ -37,8 +42,15 @@ def parse_json_envelope(
     original string is retained in ``_corrupt_record`` for a dead-letter
     sink, otherwise malformed rows are dropped (the converter's
     ``errors.tolerance=all`` vs ``none`` knob).
+
+    ``header_list=True`` parses and retains the ``headers_list``
+    (``array<struct<key,value>>``) envelope column — the full ordered header
+    multi-map, duplicate keys preserved in order. When a line carries the
+    list but no map, the map column is derived from it (last-wins), so
+    downstream map readers keep working; header-aware stages prefer the list
+    via :func:`kafka_connect_plugins_spark.envelope.header_column`.
     """
-    schema = envelope_schema(value_type)
+    schema = envelope_schema(value_type, header_list=header_list)
     parsed = df.withColumn("__env", F.from_json(F.col(json_col).cast("string"), schema))
     # A malformed line parses to an all-null struct (PERMISSIVE mode never
     # raises); topic is non-null in every real envelope, so it is the
@@ -52,6 +64,13 @@ def parse_json_envelope(
             else []
         ),
     )
+    if header_list:
+        out = out.withColumn(
+            "headers",
+            F.coalesce(
+                F.col("headers"), header_list_to_map(F.col(HEADER_LIST_COL))
+            ),
+        )
     if not keep_corrupt:
         out = out.filter(F.col("topic").isNotNull())
     return out
@@ -63,6 +82,7 @@ def read_json_envelope(
     value_type: T.DataType,
     streaming: bool = False,
     keep_corrupt: bool = False,
+    header_list: bool = False,
 ) -> DataFrame:
     """Read JSON-lines change events (one envelope object per line).
 
@@ -79,5 +99,6 @@ def read_json_envelope(
     reader = spark.readStream if streaming else spark.read
     lines = reader.text(path)
     return parse_json_envelope(
-        lines, value_type, json_col="value", keep_corrupt=keep_corrupt
+        lines, value_type, json_col="value", keep_corrupt=keep_corrupt,
+        header_list=header_list,
     )
