@@ -225,6 +225,46 @@ def host_mem_bandwidth_ceiling(low: int, high: int, trials: int = 3) -> float:
     return totals[high] / ((high / low) * totals[low])
 
 
+def _gather_worker(i):
+    import numpy as np
+
+    rng = np.random.default_rng(42 + i)
+    a = rng.random(64 * 1024 * 1024 // 8)  # 64 MB working set per process
+    idx = rng.integers(0, len(a), 2_000_000)
+    a[idx[:10]].sum()  # fault pages
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 2.0:
+        a[idx].sum()  # 2M dependent random gathers
+        n += 1
+    return 2.0 * n / (time.time() - t0)  # M random gathers/s this process
+
+
+def host_random_access_ceiling(low: int, high: int, trials: int = 3) -> float:
+    """Measured N->4N scaling of LATENCY-BOUND random memory access.
+
+    The merge's heavy stages are hash probes, string hashing and parquet
+    dictionary decode — pointer-chasing working sets, not streaming copies.
+    Profiled on this host, those stages burn 2.3x more ON-CPU seconds at 32
+    threads than at 8 for identical work (memory stalls count as CPU time),
+    while a pure-python burn scales at ~0.99 and streaming memcpy at ~0.75:
+    neither probe captures the binding resource. This one does: per-process
+    random gathers over a 64 MB working set (measured here: ~0.49 scaling
+    from 8 to 32 processes — the host's memory-parallelism limit). Any
+    latency-bound workload's N->4N efficiency on this box is capped by this
+    ratio; on a real N vs 4N EXECUTOR cluster each node brings its own
+    memory system and the ceiling is 1.0.
+    """
+    import multiprocessing
+
+    totals = {low: 0.0, high: 0.0}
+    for _trial in range(trials):  # interleaved best-of-N (see membw)
+        for n in (low, high):
+            with multiprocessing.Pool(n) as p:
+                totals[n] = max(totals[n], sum(p.map(_gather_worker, range(n))))
+    return totals[high] / ((high / low) * totals[low])
+
+
 def host_cpu_ceiling(low: int, high: int, trials: int = 3) -> float:
     """Measured upper bound on CPU scaling this host can express.
 
@@ -317,6 +357,11 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
     per_epoch = EPOCH_EVENTS * max(SCALE_MULT // PIPE_EPOCHS, 1)
     target_clean = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN", "3"))
     max_windows = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WINDOWS", "8"))
+    # Clean gate: every probe must read >= this fraction of the best rate.
+    # 0.8 proved too loose — a window whose probes read 0.80-0.83 measured
+    # the SAME lc4 job 2.7x slower than a verified-quiet run minutes later
+    # (multi-JVM levels degrade nonlinearly under partial noise).
+    clean_rel = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_REL", "0.85"))
 
     for cores in (low_cores, high_cores):  # table creation, once per level
         path = os.path.join(tmp, f"scale_table_{mode}_{cores}")
@@ -375,13 +420,13 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
             # ~20 s; sustained co-tenant noise does not — best of 3 spaced
             pr = probe_rate()
             for _ in range(2):
-                if pr >= 0.8 * _BEST_PROBE:
+                if pr >= clean_rel * _BEST_PROBE:
                     break
                 time.sleep(10)
                 pr = max(pr, probe_rate())
             probes.append(pr)
         rel = [round(pr / _BEST_PROBE, 3) for pr in probes]
-        clean = min(rel) >= 0.8
+        clean = min(rel) >= clean_rel
         eff = results[high_cores]["events_per_sec"] / (
             (high_cores / low_cores) * results[low_cores]["events_per_sec"]
         )
@@ -390,6 +435,7 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
         # window's ceiling binds below the target).
         cpu_c = host_cpu_ceiling(low_cores, high_cores, trials=1)
         bw_c = host_mem_bandwidth_ceiling(low_cores, high_cores, trials=1)
+        ra_c = host_random_access_ceiling(low_cores, high_cores, trials=1)
         win = {
             "window": w,
             "order": [levels[c][1] for c in order],
@@ -402,14 +448,17 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
             "clean": clean,
             "cpu_ceiling": round(cpu_c, 3),
             "membw_ceiling": round(bw_c, 3),
+            "randaccess_ceiling": round(ra_c, 3),
             "eff_normalized_membw": round(eff / bw_c, 3) if bw_c else 0.0,
+            "eff_normalized_randaccess": round(eff / ra_c, 3) if ra_c else 0.0,
             "low_phases": results[low_cores]["epoch_phases"],
             "high_phases": results[high_cores]["epoch_phases"],
         }
         windows.append(win)
         log(f"scaling[{mode}] window {w}: low {win['low_s']}s high {win['high_s']}s"
             f" eff {win['eff']} probes {rel} {'CLEAN' if clean else 'noisy'}"
-            f" ceilings cpu {win['cpu_ceiling']} membw {win['membw_ceiling']}")
+            f" ceilings cpu {win['cpu_ceiling']} membw {win['membw_ceiling']}"
+            f" gather {win['randaccess_ceiling']}")
         w += 1
 
     gated = [win for win in windows if win["clean"]] or windows
@@ -421,6 +470,7 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
     ]
     cpu_ceiling = host_cpu_ceiling(low_cores, high_cores)
     bw_ceiling = host_mem_bandwidth_ceiling(low_cores, high_cores)
+    ra_ceiling = host_random_access_ceiling(low_cores, high_cores)
     med_eff = statistics.median(effs)
     out = {
         "mode": mode,
@@ -446,15 +496,19 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
         "efficiency_raw": round(med_eff, 3),
         "efficiency_median": round(med_eff, 3),
         "efficiency_best": round(best_w["eff"], 3),
+        "clean_gate_rel": clean_rel,
         "host_cpu_scaling_ceiling": round(cpu_ceiling, 3),
         "host_membw_scaling_ceiling": round(bw_ceiling, 3),
+        "host_randaccess_scaling_ceiling": round(ra_ceiling, 3),
         "efficiency_normalized_cpu": round(med_eff / cpu_ceiling, 3) if cpu_ceiling else 0.0,
         "efficiency_normalized_membw": round(med_eff / bw_ceiling, 3) if bw_ceiling else 0.0,
+        "efficiency_normalized_randaccess": round(med_eff / ra_ceiling, 3) if ra_ceiling else 0.0,
     }
     log(f"scaling[{mode}]: median eff {out['efficiency_median']} best "
         f"{out['efficiency_best']} over {out['clean_windows']} clean windows;"
         f" ceilings cpu {out['host_cpu_scaling_ceiling']}"
-        f" membw {out['host_membw_scaling_ceiling']}")
+        f" membw {out['host_membw_scaling_ceiling']}"
+        f" gather {out['host_randaccess_scaling_ceiling']}")
     return out
 
 
@@ -632,9 +686,17 @@ def bench_ann_recall(spark) -> dict:
         (int(r["vec_id"]), list(r["e"]))
         for r in emb.filter(F.col("vec_id") < entry.N_CENTROIDS).collect()
     ]
-    trained = similarity.train_ivf_centroids(emb, "e", k=10, iters=10, id_col="vec_id")
-    for label, cents in (("firstk8", first_k), ("trained10", trained)):
-        for n_probe in (1, 2, 3):
+    trained10 = similarity.train_ivf_centroids(emb, "e", k=10, iters=10, id_col="vec_id")
+    # finer codebook: K=32 lists are ~3x smaller, so equal scan fraction buys
+    # more probes (n_probe/K is the scan-fraction knob: 10/K32p3 ~ 9% of the
+    # corpus vs K10p3's 30%) — the standard IVF recall/cost frontier.
+    trained32 = similarity.train_ivf_centroids(emb, "e", k=32, iters=10, id_col="vec_id")
+    for label, cents, probes in (
+        ("firstk8", first_k, (1, 2, 3)),
+        ("trained10", trained10, (1, 2, 3)),
+        ("trained32", trained32, (3, 6, 10)),
+    ):
+        for n_probe in probes:
             got = pairs(similarity.ivf_topk(q, c, cents, k=5, n_probe=n_probe))
             out[f"ivf_{label}_probe{n_probe}"] = round(len(got & truth) / len(truth), 3)
     log(f"ann recall@5: {out}")
