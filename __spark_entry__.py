@@ -693,6 +693,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution via the large-star/small-star contraction
+    (Kiveris et al., SoCC'14; ``connected_components(algorithm="star")``) —
+    O(log^2 n) rounds regardless of component diameter, the scale path for
+    adversarial (long-chain) near-dup graphs. Gated against the SAME
+    recursive-CTE oracle as ``dedup_clusters``: both algorithms must
+    produce the identical transitive closure."""
+    return neardup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        verify_threshold=0.5, cc_algorithm="star",
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, oracle-gated: per-key LSN
     high-watermark dedup (``applyInPandasWithState``,
@@ -831,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": q_sliding_counts,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
     }
 
 
@@ -937,7 +951,7 @@ def oracle_sql() -> dict[str, str]:
         f"list_min(list_transform(__h, h -> ({a} * h + {b}) % {_MERSENNE})) AS mh{i}"
         for i, (a, b) in enumerate(_MINHASH_PARAMS)
     )
-    return {
+    sql = {
         "unquote_record_key": """
             SELECT event_id,
                    CASE WHEN event_id % 3 = 2
@@ -1273,6 +1287,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
     }
+    # Same transitive closure, different Spark algorithm: the star
+    # contraction must reproduce the propagation result exactly, so it is
+    # gated against the identical recursive-CTE oracle.
+    sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    return sql
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -352,6 +352,7 @@ def connected_components(
     id_col: str = "id",
     edge_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iterations: int = 50,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -369,12 +370,24 @@ def connected_components(
     symmetrized edge list is cached once (it is re-scanned every round);
     labels are persisted per round and the previous round unpersisted;
     lineage is truncated with ``localCheckpoint`` so long runs cannot
-    accumulate an unbounded plan. At extreme scale swap the propagation
-    step for the large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) — same
-    interface, fewer rounds on adversarial graphs; the propagation form is
-    kept here because its per-round plan is two narrow shuffles of
-    (long, long) pairs.
+    accumulate an unbounded plan.
+
+    ``algorithm`` picks the round strategy:
+
+    - ``"propagation"`` (default): min-label propagation, O(diameter)
+      rounds, each round two NARROW shuffles of (long, long) pairs — the
+      cheapest per-round plan, right for near-dup graphs (dense clumps,
+      tiny diameter).
+    - ``"star"``: alternating large-star / small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14): each round rewires every node toward its neighborhood
+      minimum, collapsing components to stars in O(log^2 n) rounds
+      REGARDLESS of diameter. Per round it pays more (two groupBy-min +
+      two joins + two distincts vs propagation's one join + one min-agg),
+      so it wins exactly when the graph is adversarial — long chains /
+      high-diameter components, where propagation's round count explodes.
+      ``tests/test_neardup.py`` demonstrates the crossover on a path
+      graph whose diameter exceeds the star round budget by 8x.
 
     Convergence is detected for FREE from label monotonicity: a round's new
     label is ``min(old, neighbour labels)``, so the label SUM is strictly
@@ -406,6 +419,13 @@ def connected_components(
                 f"long surrogate first (see docstring)"
             )
     a, b = edge_cols
+    if algorithm == "star":
+        return _cc_star(edges, nodes, id_col, (a, b), max_iterations)
+    if algorithm != "propagation":
+        raise ValueError(
+            f"unknown connected-components algorithm {algorithm!r}; "
+            "expected 'propagation' or 'star'"
+        )
     sym = edges.select(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
     ).unionAll(
@@ -444,11 +464,120 @@ def connected_components(
         sym.unpersist()
 
 
+def _cc_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    edge_cols: tuple[str, str],
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    SoCC'14). See :func:`connected_components` (``algorithm="star"``).
+
+    One round = large-star then small-star over the current edge set:
+
+    - large-star: every node ``u`` rewires its STRICTLY LARGER neighbours
+      to ``m = min(N(u) + {u})`` — emit ``(v, m)`` for ``v > u``.
+    - small-star: orient edges high->low; every node ``u`` rewires its
+      smaller-or-equal neighbours (and itself) to the minimum of that set.
+
+    Both steps preserve connectivity and monotonically shrink a potential
+    function, so the edge set converges to disjoint STARS whose centre is
+    the component minimum; the final edges ARE the (member, cluster) map.
+    Convergence is detected from one tiny per-round aggregation (count +
+    endpoint sums in decimal(38,0)) over the freshly cached edge set — the
+    same collapsing-stats trick the propagation loop uses, no edge-diff
+    join. Lineage is truncated per round with ``localCheckpoint``; the
+    previous round's cache is dropped as soon as the next is materialized.
+    """
+    a, b = edge_cols
+    e = (
+        edges.select(
+            F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    node_ids = nodes.select(F.col(id_col).cast("long").alias(id_col))
+    stats = None
+    try:  # on success the FINAL edge cache stays alive: the returned lazy
+        # DataFrame reads through its localCheckpoint, exactly like the
+        # propagation loop's final label cache.
+        for _ in range(max_iterations):
+            sym = e.unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            # large-star: m = min(N(u) + {u}); emit (v, m) for v > u.
+            nbr_min = sym.groupBy("src").agg(F.min("dst").alias("nm"))
+            ls = (
+                sym.join(nbr_min, "src")
+                .where(F.col("dst") > F.col("src"))
+                .select(
+                    F.col("dst").alias("src"),
+                    F.least("nm", "src").alias("dst"),
+                )
+            )
+            # no distinct on ls: the small-star orientation below distincts
+            # on (hi, lo) anyway — one shuffle per round saved.
+            # small-star: orient high->low, rewire the low side (and the
+            # high node itself) to the minimum low neighbour.
+            e2 = (
+                ls.select(
+                    F.greatest("src", "dst").alias("hi"),
+                    F.least("src", "dst").alias("lo"),
+                )
+                .where(F.col("hi") != F.col("lo"))
+                .distinct()
+            )
+            lo_min = e2.groupBy("hi").agg(F.min("lo").alias("nm"))
+            ss = (
+                e2.join(lo_min, "hi")
+                .where(F.col("lo") != F.col("nm"))
+                .select(F.col("lo").alias("src"), F.col("nm").alias("dst"))
+                .unionAll(
+                    lo_min.select(
+                        F.col("hi").alias("src"), F.col("nm").alias("dst")
+                    )
+                )
+                .distinct()
+                .localCheckpoint(eager=False)
+                .persist()
+            )
+            new_stats = tuple(
+                ss.agg(
+                    F.count(F.lit(1)),
+                    F.sum(F.col("src").cast("decimal(38,0)")),
+                    F.sum(F.col("dst").cast("decimal(38,0)")),
+                ).first()
+            )
+            e.unpersist()
+            e = ss
+            if new_stats == stats:  # fixpoint: stars reproduce themselves
+                break
+            stats = new_stats
+        # At the fixpoint every edge is (member, component-min). min() keeps
+        # the output well-defined even if max_iterations cut the loop short.
+        member = e.groupBy("src").agg(F.min("dst").alias("__cc_label"))
+        out = (
+            node_ids.join(member, node_ids[id_col] == member["src"], "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("__cc_label"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
+        return out
+    except Exception:
+        e.unpersist()
+        raise
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,
     text_col: str,
     verify_threshold: float = 0.5,
+    cc_algorithm: str = "propagation",
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup cluster resolution: MinHash-LSH pairs →
@@ -463,7 +592,10 @@ def dedup_clusters(
         df, id_col, text_col, verify_threshold=verify_threshold, **lsh_kwargs
     )
     comps = connected_components(
-        pairs.select("id_a", "id_b"), df.select(id_col), id_col=id_col
+        pairs.select("id_a", "id_b"),
+        df.select(id_col),
+        id_col=id_col,
+        algorithm=cc_algorithm,
     )
     return comps.select(
         F.col(id_col),

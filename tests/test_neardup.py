@@ -104,6 +104,58 @@ class TestConnectedComponents:
         out = {r["id"]: r["cluster_id"] for r in connected_components(edges, nodes).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
 
+    def test_star_matches_propagation(self, spark):
+        from kafka_connect_plugins_spark.operators.neardup import connected_components
+
+        # deterministic pseudo-random graph: several components of mixed
+        # shape (chain, clique-ish clump, star) + isolated nodes
+        raw = [(i, (i * 7 + 3) % 40) for i in range(0, 40, 3)] + [
+            (50, 51), (51, 52), (52, 53), (53, 54),  # chain
+            (60, 61), (60, 62), (60, 63),  # star
+        ]
+        edges = spark.createDataFrame(
+            [(x, y) for x, y in raw if x != y], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame(
+            [(i,) for i in list(range(40)) + list(range(50, 55)) + list(range(60, 64)) + [99]],
+            "id long",
+        )
+        prop = {r["id"]: r["cluster_id"]
+                for r in connected_components(edges, nodes).collect()}
+        star = {r["id"]: r["cluster_id"]
+                for r in connected_components(edges, nodes, algorithm="star").collect()}
+        assert star == prop
+        assert star[99] == 99  # isolated node stays a singleton
+
+    def test_star_converges_past_propagation_diameter_limit(self, spark):
+        from kafka_connect_plugins_spark.operators.neardup import connected_components
+
+        # 64-node path: diameter 63. Propagation moves labels ONE hop per
+        # round, so an 8-round budget cannot converge; star contraction
+        # (O(log^2 n) rounds) finishes well inside it — the adversarial-graph
+        # crossover the algorithm exists for.
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(64)], "id long")
+        star = {r["id"]: r["cluster_id"]
+                for r in connected_components(edges, nodes, max_iterations=8,
+                                              algorithm="star").collect()}
+        assert star == {i: 0 for i in range(64)}
+        prop = {r["id"]: r["cluster_id"]
+                for r in connected_components(edges, nodes, max_iterations=8).collect()}
+        assert prop != star  # same budget, propagation still mid-flight
+
+    def test_unknown_algorithm_raises(self, spark):
+        import pytest
+
+        from kafka_connect_plugins_spark.operators.neardup import connected_components
+
+        edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        with pytest.raises(ValueError, match="propagation.*star|star.*propagation"):
+            connected_components(edges, nodes, algorithm="labelprop")
+
     def test_dedup_clusters_transitive(self, spark):
         from kafka_connect_plugins_spark.operators.neardup import dedup_clusters
 
