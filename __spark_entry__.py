@@ -45,9 +45,27 @@ EPOCH0 = 1_700_000_000_000
 # session-scoped fixture cache for q_streaming_dedup (sf_dir -> parquet dir)
 _STREAM_SRC_CACHE: dict[str, str] = {}
 
+# session-scoped cache of the verified MinHash-LSH pair set: three gates
+# (minhash_lsh_pairs, dedup_clusters, dedup_clusters_star) consume the SAME
+# edge list, and pair mining (shingle hashing + band join + Jaccard verify)
+# is the expensive half of cluster resolution — mine once, cluster twice.
+# Keyed by applicationId so a cached frame never outlives its session.
+_LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _LSH_PAIRS_CACHE.get(key)
+    if pairs is None:
+        pairs = neardup.minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
+        ).persist()
+        _LSH_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 # ----------------------------------------------------------------------
@@ -493,9 +511,7 @@ def q_redact_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
-    return neardup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
-    )
+    return _lsh_pairs(spark, sf_dir)
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,7 +705,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE — a full correctness gate for an iterative Spark
     algorithm."""
     return neardup.dedup_clusters(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5
+        _t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.5,
+        pairs=_lsh_pairs(spark, sf_dir),
     )
 
 
@@ -699,10 +716,12 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log^2 n) rounds regardless of component diameter, the scale path for
     adversarial (long-chain) near-dup graphs. Gated against the SAME
     recursive-CTE oracle as ``dedup_clusters``: both algorithms must
-    produce the identical transitive closure."""
+    produce the identical transitive closure, over the SAME (cached)
+    mined pair set — pair mining runs once for both gates."""
     return neardup.dedup_clusters(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         verify_threshold=0.5, cc_algorithm="star",
+        pairs=_lsh_pairs(spark, sf_dir),
     )
 
 

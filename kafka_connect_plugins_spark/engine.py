@@ -186,30 +186,50 @@ def replay_pipelined(
         return prep, t0, _time.time()
 
     stats: list[MergeStats] = []
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(_prepare, batches[0])
-        for i, _batch in enumerate(batches):
-            prep, p0, p1 = fut.result()
-            if i + 1 < len(batches):
-                fut = pool.submit(_prepare, batches[i + 1])
-            sc.setLocalProperty("spark.scheduler.pool", "kcp_write")
-            a0 = _time.time()
-            st = table.merge(
-                prep=prep,
-                epoch_id=start_epoch + i,
-                stream_id=stream_id,
-                mode=merge_mode,
-            )
-            a1 = _time.time()
-            st.phases["prep_wall"] = round(p1 - p0, 3)
-            # overlap of THIS prep with the PREVIOUS epoch's apply window
-            if stats:
-                prev0, prev1 = stats[-1].phases.get("__apply_window", (a0, a0))
-                st.phases["prep_overlap"] = round(
-                    max(0.0, min(p1, prev1) - max(p0, prev0)), 3
+    fut = None
+    try:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_prepare, batches[0])
+            for i, _batch in enumerate(batches):
+                prep, p0, p1 = fut.result()
+                fut = None
+                if i + 1 < len(batches):
+                    fut = pool.submit(_prepare, batches[i + 1])
+                sc.setLocalProperty("spark.scheduler.pool", "kcp_write")
+                a0 = _time.time()
+                st = table.merge(
+                    prep=prep,
+                    epoch_id=start_epoch + i,
+                    stream_id=stream_id,
+                    mode=merge_mode,
                 )
-            st.phases["__apply_window"] = (a0, a1)
-            stats.append(st)
+                a1 = _time.time()
+                st.phases["prep_wall"] = round(p1 - p0, 3)
+                # overlap of THIS prep with the PREVIOUS epoch's apply window
+                if stats:
+                    prev0, prev1 = stats[-1].phases.get("__apply_window", (a0, a0))
+                    st.phases["prep_overlap"] = round(
+                        max(0.0, min(p1, prev1) - max(p0, prev0)), 3
+                    )
+                st.phases["__apply_window"] = (a0, a1)
+                stats.append(st)
+    except Exception:
+        # merge() raised mid-loop: the already-submitted next-epoch prepare
+        # still completes on pool shutdown — consume it and drop its
+        # persisted caches (winner_counts, src_winners) so the executor
+        # storage it pinned does not leak past the failure.
+        if fut is not None:
+            try:
+                orphan, _, _ = fut.result()
+                orphan.winner_counts.unpersist()
+                if orphan.plan_b:
+                    orphan.src_winners.unpersist()
+            except Exception:
+                pass  # the orphan prepare failed too; nothing was cached
+        raise
+    finally:
+        # the reset must survive exceptions: the caller's thread would
+        # otherwise keep scheduling every later job in the kcp_write pool
         sc.setLocalProperty("spark.scheduler.pool", None)
     for st in stats:
         st.phases.pop("__apply_window", None)

@@ -30,12 +30,21 @@ import sys
 from pyspark.sql import SparkSession
 
 
-def build_session(app: str, master: str | None, shuffle_partitions: int | None) -> SparkSession:
+def build_session(
+    app: str,
+    master: str | None,
+    shuffle_partitions: int | None,
+    fair: bool = False,
+) -> SparkSession:
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if fair:
+        # pipelined replay schedules epoch i+1's stats job concurrently with
+        # epoch i's write job; FAIR pools let the two share task slots
+        b = b.config("spark.scheduler.mode", "FAIR")
     b = b.config("spark.sql.adaptive.enabled", "true")
     # Keep the LWW max_by aggregation hash-based: the Spark default falls
     # back to SORT-based object aggregation after 128 distinct keys, which
@@ -64,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=64, help="key buckets for a new table")
     p.add_argument("--trigger", default=None, help="processingTime trigger, e.g. '10s'")
     p.add_argument("--available-now", action="store_true", help="drain the log and stop")
+    p.add_argument(
+        "--pipelined", action="store_true",
+        help="batch replay with the one-epoch stats/write pipeline "
+             "(engine.replay_pipelined): epoch i+1's narrow stats "
+             "aggregation runs under epoch i's map-only wide write — the "
+             "measured steady-state ingest shape. Batch-only: streaming "
+             "(foreachBatch) commits offsets when the callback returns, so "
+             "it cannot defer an epoch's write past its trigger; the batch "
+             "driver commits epochs through the table manifest, which is "
+             "what makes prefetching safe here. Needs --events/--table "
+             "(no checkpoint: the manifest IS the epoch ledger).")
+    p.add_argument("--pipelined-epochs", type=int, default=4,
+                   help="LSN-range epochs to cut the log into for --pipelined")
     p.add_argument("--create", action="store_true", help="create the table if missing")
     p.add_argument("--master", default=None, help="local master override (tests only)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -100,9 +122,15 @@ def main(argv: list[str] | None = None) -> int:
         args.events, args.table, args.checkpoint = f"{tmp}/log", f"{tmp}/table", f"{tmp}/ckpt"
         args.available_now, args.create = True, True
     else:
-        if not (args.events and args.table and args.checkpoint):
+        if args.pipelined:
+            if not (args.events and args.table):
+                p.error("--pipelined requires --events and --table")
+        elif not (args.events and args.table and args.checkpoint):
             p.error("--events, --table and --checkpoint are required (or --demo)")
-        spark = build_session("kcp-cdc-ingest", args.master, args.shuffle_partitions)
+        spark = build_session(
+            "kcp-cdc-ingest", args.master, args.shuffle_partitions,
+            fair=args.pipelined,
+        )
 
     if args.create:
         try:
@@ -122,6 +150,34 @@ def main(argv: list[str] | None = None) -> int:
         if args.expire_keep is not None:
             out.update(table.expire_snapshots(keep_last=args.expire_keep))
         print(json.dumps(out))
+        return 0
+
+    if args.pipelined:
+        from pyspark.sql import functions as F
+
+        from kafka_connect_plugins_spark.engine import replay_pipelined
+
+        events = spark.read.parquet(args.events)
+        n = max(args.pipelined_epochs, 1)
+        hi = events.agg(F.max("offset")).first()[0] or 0
+        per = (hi + n) // n
+        batches = [
+            events.filter((F.col("offset") >= e * per) & (F.col("offset") < (e + 1) * per))
+            for e in range(n)
+        ]
+        stats = replay_pipelined(
+            table, batches, stream_id=args.stream_id, merge_mode=args.merge_mode
+        )
+        applied = [s for s in stats if not s.skipped]
+        print(json.dumps({
+            "epochs": len(stats),
+            "skipped_epochs": len(stats) - len(applied),
+            "events": sum(s.source_rows for s in stats),
+            "final_rows": table.read().count(),
+            "prep_overlap_sec": round(
+                sum(s.phases.get("prep_overlap", 0.0) for s in applied), 3
+            ),
+        }))
         return 0
 
     metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")

@@ -464,6 +464,22 @@ def connected_components(
         sym.unpersist()
 
 
+def _edge_digest(e: DataFrame) -> tuple:
+    """Order-insensitive, collision-resistant fingerprint of an edge SET:
+    ``(count, sum(xxhash64(src, dst)))`` with the sum in decimal(38,0) so a
+    billion 64-bit terms cannot overflow. Equal digests for two DIFFERENT
+    edge sets require a 64-bit multiset-hash collision (~2^-64 per
+    comparison) — unlike plain endpoint sums, which collide for e.g.
+    ``{(5,1),(4,2)}`` vs ``{(4,1),(5,2)}`` (see ``_cc_star``).
+    """
+    return tuple(
+        e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        ).first()
+    )
+
+
 def _cc_star(
     edges: DataFrame,
     nodes: DataFrame,
@@ -484,11 +500,20 @@ def _cc_star(
     Both steps preserve connectivity and monotonically shrink a potential
     function, so the edge set converges to disjoint STARS whose centre is
     the component minimum; the final edges ARE the (member, cluster) map.
-    Convergence is detected from one tiny per-round aggregation (count +
-    endpoint sums in decimal(38,0)) over the freshly cached edge set — the
-    same collapsing-stats trick the propagation loop uses, no edge-diff
-    join. Lineage is truncated per round with ``localCheckpoint``; the
-    previous round's cache is dropped as soon as the next is materialized.
+    Convergence is detected from one tiny per-round aggregation over the
+    freshly cached edge set — no edge-diff join. Unlike the propagation
+    loop, where per-node monotone min-labels make sum-equality imply a
+    fixpoint, star rounds rename and merge edges NON-monotonically, so
+    plain endpoint sums are a necessary-but-not-sufficient signal: two
+    different consecutive edge sets can collide on (count, sum(src),
+    sum(dst)) — e.g. ``{(5,1),(4,2)}`` vs ``{(4,1),(5,2)}`` — and stopping
+    there would silently emit under-merged clusters. The aggregation here
+    is therefore an order-insensitive, collision-resistant DIGEST of the
+    edge SET: count plus ``sum(xxhash64(src, dst))`` in decimal(38,0)
+    (sum over a set is permutation-invariant; equal digests for unequal
+    sets need a 64-bit multiset-hash collision, ~2^-64 per round). Lineage
+    is truncated per round with ``localCheckpoint``; the previous round's
+    cache is dropped as soon as the next is materialized.
     """
     a, b = edge_cols
     e = (
@@ -544,13 +569,7 @@ def _cc_star(
                 .localCheckpoint(eager=False)
                 .persist()
             )
-            new_stats = tuple(
-                ss.agg(
-                    F.count(F.lit(1)),
-                    F.sum(F.col("src").cast("decimal(38,0)")),
-                    F.sum(F.col("dst").cast("decimal(38,0)")),
-                ).first()
-            )
+            new_stats = _edge_digest(ss)
             e.unpersist()
             e = ss
             if new_stats == stats:  # fixpoint: stars reproduce themselves
@@ -558,12 +577,16 @@ def _cc_star(
             stats = new_stats
         # At the fixpoint every edge is (member, component-min). min() keeps
         # the output well-defined even if max_iterations cut the loop short.
-        member = e.groupBy("src").agg(F.min("dst").alias("__cc_label"))
+        # member's join key is aliased so the output select is unambiguous
+        # even when the caller's id_col is literally "src".
+        member = e.groupBy("src").agg(F.min("dst").alias("__cc_label")).select(
+            F.col("src").alias("__cc_src"), "__cc_label"
+        )
         out = (
-            node_ids.join(member, node_ids[id_col] == member["src"], "left")
+            node_ids.join(member, node_ids[id_col] == member["__cc_src"], "left")
             .select(
-                F.col(id_col),
-                F.coalesce(F.col("__cc_label"), F.col(id_col)).alias("cluster_id"),
+                node_ids[id_col],
+                F.coalesce(F.col("__cc_label"), node_ids[id_col]).alias("cluster_id"),
             )
         )
         return out
@@ -578,6 +601,7 @@ def dedup_clusters(
     text_col: str,
     verify_threshold: float = 0.5,
     cc_algorithm: str = "propagation",
+    pairs: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup cluster resolution: MinHash-LSH pairs →
@@ -587,10 +611,17 @@ def dedup_clusters(
     the exact shape a corpus-dedup job feeds a filter ("keep rows where
     is_keeper"). cluster_id is the minimum doc id reachable through pairs
     whose verified Jaccard ≥ ``verify_threshold``.
+
+    ``pairs`` short-circuits pair detection with a precomputed
+    ``(id_a, id_b)`` edge DataFrame — pair mining is the expensive half
+    (shingle hashing + band join + Jaccard verify), and a pipeline that
+    resolves clusters under BOTH CC algorithms (or re-resolves after
+    tuning ``cc_algorithm``) should mine once and cluster twice.
     """
-    pairs = minhash_lsh_pairs(
-        df, id_col, text_col, verify_threshold=verify_threshold, **lsh_kwargs
-    )
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, verify_threshold=verify_threshold, **lsh_kwargs
+        )
     comps = connected_components(
         pairs.select("id_a", "id_b"),
         df.select(id_col),

@@ -415,10 +415,18 @@ def train_ivf_centroids(
     deterministic, no RNG — so repeated builds (and resumed pipelines)
     produce byte-identical codebooks. Returns ``[(0, vec), ..., (k-1, vec)]``.
     """
+    if k < 1:
+        raise ValueError(f"train_ivf_centroids: k must be >= 1, got {k}")
     q = df.select(F.col(vec_col).alias("v"))
     if id_col is not None:
         q = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).orderBy("i")
     rows = q.limit(sample_limit).collect()
+    if len(rows) < k:
+        raise ValueError(
+            f"train_ivf_centroids: k={k} centroids need at least k sample "
+            f"vectors, but the corpus sample has only {len(rows)} row(s) "
+            f"(sample_limit={sample_limit}) — lower k or grow the corpus"
+        )
     x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     xn = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
     cent = xn[:k].copy()

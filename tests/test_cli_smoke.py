@@ -96,3 +96,51 @@ def test_cli_ingest_defer_compact_expire(spark, tmp_path):
     }
     assert got == want
     assert summary["final_rows"] == len(want)
+
+
+@pytest.mark.slow
+def test_cli_pipelined_batch_replay(spark, tmp_path):
+    """--pipelined: the steady-state (stats-under-write) replay shape on the
+    operational surface — fresh driver process, resumable via the manifest
+    epoch ledger, same final state as the streaming drain."""
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+
+    log_dir = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    changelog(spark, 5000, num_repos=10, paths_per_repo=40).write.parquet(log_dir)
+
+    summary = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--create", "--pipelined",
+            "--pipelined-epochs", "3", "--master", "local[4]",
+            "--shuffle-partitions", "8",
+        )
+    )
+    assert summary["epochs"] == 3 and summary["skipped_epochs"] == 0
+    assert summary["events"] == 5000
+
+    # re-running the same replay is exactly-once: the manifest epoch ledger
+    # (not a streaming checkpoint) skips all three epochs
+    again = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--pipelined",
+            "--pipelined-epochs", "3", "--master", "local[4]",
+            "--shuffle-partitions", "8",
+        )
+    )
+    assert again["skipped_epochs"] == 3
+    assert again["final_rows"] == summary["final_rows"]
+
+    # final state matches the independent LWW derivation from the log
+    t = LakeTable.load(spark, table_dir)
+    got = {(r["repo"], r["path"]) for r in t.read().collect()}
+    ev = spark.read.parquet(log_dir)
+    win = (
+        ev.groupBy("key")
+        .agg(F.max_by(F.struct("offset", "value"), F.col("offset")).alias("w"))
+        .select("w.value")
+        .filter(F.col("value").isNotNull() & F.col("value.deleted_at").isNull())
+    )
+    want = {(r["value"]["repo"], r["value"]["path"]) for r in win.collect()}
+    assert got == want and summary["final_rows"] == len(want)
