@@ -569,31 +569,46 @@ EMB_DIM = 64
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via RHP-LSH bucketing — the scale path.
+    """Embedding near-dup pairs via MULTI-TABLE RHP-LSH bucketing — the
+    scale path. Candidates are bucket collisions in ANY of LSH_TABLES
+    independent 3-plane tables (one fused matmul per Arrow batch builds all
+    signatures — similarity.rhp_buckets_multi), exact cosine verified
+    inside the colliding bucket only, post-verify DISTINCT collapsing
+    multi-table collisions. The label-blocked exact join
+    (q_embedding_neardup) stays as the quadratic verifier baseline.
 
-    Candidates are bucket collisions on a 6-plane random-hyperplane
-    signature (bounded buckets, never all-pairs), with exact cosine verify
-    inside the bucket only. The label-blocked exact join
-    (q_embedding_neardup) stays as the quadratic verifier baseline; this is
-    the plan a 10^9-vector corpus runs: one equi-join shuffle on the bucket
-    key. Fewer planes than ann_lsh (6 vs 8) => bigger buckets => higher
-    recall for the pair-mining use case.
+    Geometry is MEASURED, not assumed (bench.bench_pair_recall): this
+    corpus's near-dups sit at cosine ~0.35-0.45 (per-plane agreement
+    p~0.61), so one 6-plane table has structural recall p^6 ~ 0.04 —
+    round 5's sweep measured exactly that (0.037) and 10 tables x 3 planes
+    restores it to ~0.9 at bounded candidate volume. Plane count per table
+    is the corpus-scale knob (b ~ log2(n/target_bucket_size)); a 10^9-row
+    corpus raises b and re-runs the sweep rather than trusting this one.
     """
     from kafka_connect_plugins_spark.operators.similarity import (
         dot,
         l2_norm,
-        rhp_bucket,
+        rhp_buckets_multi,
     )
     from kafka_connect_plugins_spark.plans.parallelism import spread
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("bucket", rhp_bucket(F.col("e"), 6, EMB_DIM)).withColumn(
-        "n", l2_norm(F.col("e"))  # norm once per ROW, not per pair
+    ).withColumn("n", l2_norm(F.col("e")))  # norm once per ROW, not per pair
+    sigs = e.select(
+        "vec_id", "e", "n",
+        F.posexplode(
+            rhp_buckets_multi(F.col("e"), LSH_PLANES, EMB_DIM, LSH_TABLES)
+        ).alias("t", "bkt"),
     )
-    l, r = e.alias("l"), e.alias("r")
+    l, r = sigs.alias("l"), sigs.alias("r")
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
         .withColumn("sim", dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
         .filter(F.col("sim") >= 0.3)
         .select(
@@ -601,6 +616,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.vec_id").alias("id_b"),
             F.round("sim", 6).alias("sim_r"),
         )
+        .distinct()
     )
 
 
@@ -1184,10 +1200,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_lsh": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-            b AS (SELECT vec_id, e, {_rhp_bucket_sql("e", 6, EMB_DIM)} AS bucket FROM e)
-            SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+            b AS (SELECT vec_id, e,
+                   {", ".join(
+                       f"{_rhp_bucket_sql('e', LSH_PLANES, EMB_DIM, table=t)} AS bkt{t}"
+                       for t in range(LSH_TABLES)
+                   )}
+                  FROM e)
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
                    round({_COS_SQL.format(a="l.e", b="r.e")}, 6) AS sim_r
-            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            FROM b l JOIN b r
+              ON ({" OR ".join(f"l.bkt{t} = r.bkt{t}" for t in range(LSH_TABLES))})
+                 AND l.vec_id < r.vec_id
             WHERE {_COS_SQL.format(a="l.e", b="r.e")} >= 0.3
         """,
         "ann_ivf": f"""

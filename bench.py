@@ -17,6 +17,19 @@ at $SPARK_GRAFT_SF_DIR, executed to completion via the noop sink.
 
 Prints exactly ONE JSON line on stdout; progress goes to stderr. Also
 refreshes BENCH.md.
+
+Budget discipline (the round-4 lesson: a driver-side timeout that kills the
+process mid-scaling-loop must not erase the evidence):
+
+- FAST sections run FIRST (query suite, ANN + pair recall, small-epoch
+  replay — minutes), the open-ended scaling windows LAST.
+- A wall-clock deadline (``SPARK_GRAFT_BENCH_DEADLINE_SEC``, default 40 min)
+  stops the window loops early, reporting however many windows ran.
+- After every section and every scaling WINDOW the partial result dict is
+  flushed to ``BENCH_partial.json`` next to this file, so even SIGKILL
+  leaves a parsed artifact of everything that completed.
+- SIGTERM/SIGINT (what ``timeout(1)`` sends) prints the partial dict as the
+  one stdout JSON line and exits 0 — fail soft, never fail empty.
 """
 
 from __future__ import annotations
@@ -24,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import statistics
 import sys
 import tempfile
@@ -33,6 +47,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+T_START = time.time()
+DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2400"))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_PARTIAL_PATH = os.path.join(_REPO_DIR, "BENCH_partial.json")
+# the one shared result dict; sections fill it in as they complete and the
+# signal handler prints whatever is in it at kill time
+OUT: dict = {"partial": True, "sections_done": []}
+
+
+def remaining() -> float:
+    return DEADLINE_SEC - (time.time() - T_START)
+
+
+def flush_partial(section: str | None = None) -> None:
+    """Persist the current OUT dict atomically; called after every section
+    and every scaling window so a hard kill still leaves an artifact."""
+    if section and section not in OUT["sections_done"]:
+        OUT["sections_done"].append(section)
+    OUT["elapsed_sec"] = round(time.time() - T_START, 1)
+    OUT["deadline_sec"] = DEADLINE_SEC
+    tmp = _PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(OUT, f)
+    os.replace(tmp, _PARTIAL_PATH)
+
+
+_MAIN_PID = os.getpid()
+
+
+def _on_term(signum, _frame):
+    """timeout(1) sends SIGTERM: emit the partial result as THE stdout JSON
+    line and exit cleanly — a truncated run must still parse. Forked
+    children (multiprocessing probe pools, whose normal shutdown IS a
+    SIGTERM) inherit this handler and must stay silent: only the main
+    process owns the one stdout JSON line."""
+    if os.getpid() != _MAIN_PID:
+        os._exit(0)
+    OUT["killed_by_signal"] = int(signum)
+    OUT["elapsed_sec"] = round(time.time() - T_START, 1)
+    try:
+        sys.stdout.write(json.dumps(OUT) + "\n")
+        sys.stdout.flush()
+    finally:
+        os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
 EPOCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCH_EVENTS", "1000000"))
 N_EPOCHS = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))  # + 1 warmup
 # Scaling-phase epoch size (x EPOCH_EVENTS). The north rule targets 10^10-event
@@ -174,6 +236,9 @@ def wait_for_quiet_host(max_degradation: float = 0.25, retries: int = 8, nap: in
         rate = probe_rate()
         if rate >= (1.0 - max_degradation) * _BEST_PROBE:
             return rate
+        if remaining() < 180:  # deadline near: measure under whatever load
+            log("host noisy but deadline near; proceeding without nap")
+            return rate
         log(f"host noisy (membw probe {rate / _BEST_PROBE:.2f} of best); napping {nap}s"
             f" ({attempt + 1}/{retries})")
         time.sleep(nap)
@@ -306,7 +371,13 @@ def _wait_spark_teardown(timeout_s: float = 20.0) -> None:
     time.sleep(2)  # settle page-freeing
 
 
-def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
+def bench_scaling(
+    tmp: str,
+    events_path: str,
+    mode: str = "threads",
+    deadline_ts: float | None = None,
+    on_window=None,
+) -> dict | None:
     """N vs 4N scaling as PAIRED, NOISE-GATED WINDOWS — the reproducible
     artifact for the BASELINE criterion (scaling efficiency >= 0.8 from N
     to 4N executors).
@@ -333,6 +404,12 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
 
     ``mode="executors"``: local-cluster[1,8] vs [4,8] — real executor JVMs,
     RPC + inter-process shuffle. ``mode="threads"``: local[8] vs local[32].
+
+    ``deadline_ts`` (absolute time.time()) stops the loop before a window
+    that would not finish in time — however many windows ran ARE the
+    artifact; ``on_window`` (summary-dict callback) is invoked after every
+    window so the caller can flush incremental results. Returns ``None``
+    if the deadline left room for no window at all.
     """
     from pyspark.sql import functions as F
 
@@ -408,8 +485,16 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
         }
 
     windows: list[dict] = []
+    win_times: list[float] = []
     w = 0
     while w < max_windows and sum(1 for win in windows if win["clean"]) < target_clean:
+        # deadline gate: never START a window that would blow the budget —
+        # estimate from the windows already run (they ride the same noise)
+        est = max(win_times) * 1.1 if win_times else 300.0
+        if deadline_ts is not None and time.time() + est > deadline_ts:
+            log(f"scaling[{mode}]: deadline — stopping after {w} window(s)")
+            break
+        w_t0 = time.time()
         wait_for_quiet_host()
         order = (low_cores, high_cores) if w % 2 == 0 else (high_cores, low_cores)
         probes = [probe_rate()]
@@ -430,9 +515,9 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
         eff = results[high_cores]["events_per_sec"] / (
             (high_cores / low_cores) * results[low_cores]["events_per_sec"]
         )
-        # Per-window host ceilings: ONE interleaved trial each (the 3-trial
-        # version runs once for the headline; this captures whether THIS
-        # window's ceiling binds below the target).
+        # Per-window host ceilings: ONE interleaved trial each — captures
+        # whether THIS window's ceiling binds below the target; the
+        # run-level headline takes the median across windows.
         cpu_c = host_cpu_ceiling(low_cores, high_cores, trials=1)
         bw_c = host_mem_bandwidth_ceiling(low_cores, high_cores, trials=1)
         ra_c = host_random_access_ceiling(low_cores, high_cores, trials=1)
@@ -455,28 +540,65 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
             "high_phases": results[high_cores]["epoch_phases"],
         }
         windows.append(win)
+        win_times.append(time.time() - w_t0)
         log(f"scaling[{mode}] window {w}: low {win['low_s']}s high {win['high_s']}s"
             f" eff {win['eff']} probes {rel} {'CLEAN' if clean else 'noisy'}"
             f" ceilings cpu {win['cpu_ceiling']} membw {win['membw_ceiling']}"
             f" gather {win['randaccess_ceiling']}")
         w += 1
+        if on_window is not None:
+            on_window(_scaling_summary(
+                mode, windows, per_epoch, clean_rel, low_cores, high_cores, levels
+            ))
 
+    out = _scaling_summary(
+        mode, windows, per_epoch, clean_rel, low_cores, high_cores, levels
+    )
+    if out is None:
+        log(f"scaling[{mode}]: no window fit inside the deadline")
+        return None
+    log(f"scaling[{mode}]: median eff {out['efficiency_median']} best "
+        f"{out['efficiency_best']} over {out['clean_windows']} clean windows;"
+        f" ceilings cpu {out['host_cpu_scaling_ceiling']}"
+        f" membw {out['host_membw_scaling_ceiling']}"
+        f" gather {out['host_randaccess_scaling_ceiling']}")
+    return out
+
+
+def _scaling_summary(
+    mode: str,
+    windows: list[dict],
+    per_epoch: int,
+    clean_rel: float,
+    low_cores: int,
+    high_cores: int,
+    levels: dict,
+) -> dict | None:
+    """Headline + distribution from the windows measured SO FAR — called
+    after every window (incremental flush) and at the end. Run-level host
+    ceilings are the medians of the per-window one-trial samples: each
+    window already pays an interleaved cpu/membw/gather probe, and the
+    median over windows rides the same noise the measurements did (the old
+    extra 3-trial run at the end measured a DIFFERENT moment's co-tenant
+    load and cost ~2 minutes of budget)."""
+    if not windows:
+        return None
     gated = [win for win in windows if win["clean"]] or windows
     effs = sorted(win["eff"] for win in gated)
     best_w = max(gated, key=lambda win: win["eff"])
     # pick the representative (median-eff) window for the low/high headline
-    med_w = gated[
-        [win["eff"] for win in gated].index(effs[len(effs) // 2])
-    ]
-    cpu_ceiling = host_cpu_ceiling(low_cores, high_cores)
-    bw_ceiling = host_mem_bandwidth_ceiling(low_cores, high_cores)
-    ra_ceiling = host_random_access_ceiling(low_cores, high_cores)
+    med_w = gated[[win["eff"] for win in gated].index(effs[len(effs) // 2])]
+    cpu_ceiling = statistics.median(w["cpu_ceiling"] for w in windows)
+    bw_ceiling = statistics.median(w["membw_ceiling"] for w in windows)
+    ra_ceiling = statistics.median(w["randaccess_ceiling"] for w in windows)
     med_eff = statistics.median(effs)
-    out = {
+    return {
         "mode": mode,
         "methodology": "paired interleaved windows; clean = all 3 membw "
-                       "probes (before/between/after) >= 0.8 of best; "
-                       "headline = median/best over clean windows",
+                       "probes (before/between/after) >= "
+                       f"{clean_rel} of best; headline = median/best over "
+                       "clean windows; run-level ceilings = median of "
+                       "per-window one-trial N-vs-4N process probes",
         "epoch_events": per_epoch,
         "pipelined_epochs_per_level": PIPE_EPOCHS,
         "windows": windows,
@@ -504,12 +626,6 @@ def bench_scaling(tmp: str, events_path: str, mode: str = "threads") -> dict:
         "efficiency_normalized_membw": round(med_eff / bw_ceiling, 3) if bw_ceiling else 0.0,
         "efficiency_normalized_randaccess": round(med_eff / ra_ceiling, 3) if ra_ceiling else 0.0,
     }
-    log(f"scaling[{mode}]: median eff {out['efficiency_median']} best "
-        f"{out['efficiency_best']} over {out['clean_windows']} clean windows;"
-        f" ceilings cpu {out['host_cpu_scaling_ceiling']}"
-        f" membw {out['host_membw_scaling_ceiling']}"
-        f" gather {out['host_randaccess_scaling_ceiling']}")
-    return out
 
 
 def bench_scan_scaling(events_path: str, rounds: int = 3) -> dict:
@@ -554,19 +670,24 @@ def bench_scan_scaling(events_path: str, rounds: int = 3) -> dict:
     }
 
 
-def generate_events(tmp: str) -> str:
+def _events_cached(total: int) -> str | None:
+    path = os.path.join(SHM, f"kcp_bench_events_{total}")
+    return path if os.path.exists(os.path.join(path, "_COMPLETE")) else None
+
+
+def generate_events(total: int) -> str:
+    """Deterministic change log of ``total`` events on tmpfs, cached across
+    bench runs by size (the marker file commits the write atomically enough
+    for a single-user sandbox). The SMALL log (replay epochs) and the BIG
+    log (scaling windows) are separate cache entries so the fast sections
+    never wait on the ~10-minute big-log generation."""
     from kafka_connect_plugins_spark.sources.changelog import changelog
 
-    # covers the throughput epochs AND the scaling warmup + big epoch
-    total = EPOCH_EVENTS * max(N_EPOCHS + 1, SCALE_MULT + 1)
-    # The log is deterministic in (total, shape), so cache it across bench
-    # runs (~10 min of generation per run saved); the marker file commits
-    # the write atomically enough for a single-user sandbox.
+    cached = _events_cached(total)
+    if cached:
+        log(f"reusing cached change events at {cached}")
+        return cached
     events_path = os.path.join(SHM, f"kcp_bench_events_{total}")
-    marker = os.path.join(events_path, "_COMPLETE")
-    if os.path.exists(marker):
-        log(f"reusing cached change events at {events_path}")
-        return events_path
     shutil.rmtree(events_path, ignore_errors=True)
     spark = _session(CPUS)
     log(f"generating {total} change events -> {events_path}")
@@ -574,7 +695,7 @@ def generate_events(tmp: str) -> str:
         spark, total, num_repos=200, paths_per_repo=500, num_partitions=CPUS * 2
     ).write.mode("overwrite").parquet(events_path)
     spark.stop()
-    open(marker, "w").close()
+    open(os.path.join(events_path, "_COMPLETE"), "w").close()
     return events_path
 
 
@@ -703,6 +824,116 @@ def bench_ann_recall(spark) -> dict:
     return out
 
 
+def bench_pair_recall(spark) -> dict:
+    """Recall of the PAIR-MINING detectors vs exact ground truth at SF_DIR —
+    the same measured-not-analyzed standard the ANN paths got in round 4.
+
+    - ``minhash_lsh``: |LSH-verified pairs ∩ exact pairs| / |exact pairs|
+      where the exact set is EXACT Jaccard >= 0.5 over the same distinct
+      7-shingle hash sets, found via a shared-shingle inverted index (any
+      pair with Jaccard > 0 shares a shingle, so the index is exhaustive —
+      no blocking approximation). Band geometry swept: rows_per_band 2/4/8
+      over the 8 fixed permutations (4/2/1 bands).
+    - ``embedding_rhp``: recall of the RHP-LSH bucket-collision pair miner
+      vs exact ALL-PAIRS cosine >= 0.35 (the unblocked truth — stricter
+      than the label-blocked gate query), swept over single-table plane
+      counts (the structural-blindness curve) AND multi-table geometries,
+      including the gate query's (LSH_TABLES x LSH_PLANES).
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_connect_plugins_spark.functions.text import hash_array60, shingles
+    from kafka_connect_plugins_spark.operators import neardup
+    from kafka_connect_plugins_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        rhp_buckets_multi,
+    )
+
+    out: dict = {}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(hash_array60(shingles(F.col("text"), 7))).alias("hs"),
+    ).persist()
+    post = hs.select("id", F.explode("hs").alias("sh"))
+    cand = (
+        post.alias("l")
+        .join(post.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    truth_df = (
+        cand.join(hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha")), "id_a")
+        .join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")), "id_b")
+        .withColumn("ni", F.size(F.array_intersect("ha", "hb")))
+        .withColumn("j", F.col("ni") / (F.size("ha") + F.size("hb") - F.col("ni")).cast("double"))
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    truth = {(r["id_a"], r["id_b"]) for r in truth_df.collect()}
+    out["minhash_exact_pairs"] = len(truth)
+    for rpb in (2, 4, 8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in neardup.minhash_lsh_pairs(
+                docs, "doc_id", "text", rows_per_band=rpb, verify_threshold=0.5
+            ).collect()
+        }
+        # the verify step guarantees precision 1.0; recall is the question
+        out[f"minhash_lsh_rpb{rpb}_bands{8 // rpb}"] = (
+            round(len(got & truth) / len(truth), 3) if truth else 1.0
+        )
+    hs.unpersist()
+
+    import __spark_entry__ as entry
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("n", l2_norm(F.col("e"))).persist()
+    l, r = emb.alias("l"), emb.alias("r")
+    etruth_df = (
+        l.join(r, F.col("l.vec_id") < F.col("r.vec_id"))
+        .withColumn("sim", dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
+        .filter(F.col("sim") >= 0.35)
+        .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+    )
+    etruth = {(r_["id_a"], r_["id_b"]) for r_ in etruth_df.collect()}
+    out["embedding_exact_pairs"] = len(etruth)
+    # single-table plane sweep (the structural-blindness curve) plus the
+    # multi-table geometries; (tables=LSH_TABLES, planes=LSH_PLANES) is the
+    # gate query's production setting
+    for tables, planes in ((1, 4), (1, 6), (1, 8), (8, 4),
+                           (entry.LSH_TABLES, entry.LSH_PLANES)):
+        b = emb.select(
+            "vec_id", "e", "n",
+            F.posexplode(
+                rhp_buckets_multi(F.col("e"), planes, entry.EMB_DIM, tables)
+            ).alias("t", "bkt"),
+        )
+        lb, rb = b.alias("l"), b.alias("r")
+        got = {
+            (r_["id_a"], r_["id_b"])
+            for r_ in (
+                lb.join(rb, (F.col("l.t") == F.col("r.t"))
+                        & (F.col("l.bkt") == F.col("r.bkt"))
+                        & (F.col("l.vec_id") < F.col("r.vec_id")))
+                .withColumn("sim", dot(F.col("l.e"), F.col("r.e"))
+                            / (F.col("l.n") * F.col("r.n")))
+                .filter(F.col("sim") >= 0.35)
+                .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+                .distinct()
+            ).collect()
+        }
+        out[f"embedding_rhp_t{tables}xp{planes}"] = (
+            round(len(got & etruth) / len(etruth), 3) if etruth else 1.0
+        )
+    emb.unpersist()
+    log(f"pair recall: {out}")
+    return out
+
+
 def _scaling_table(scaling: dict) -> list[str]:
     lines = [
         f"{scaling['pipelined_epochs_per_level']} pipelined epochs x "
@@ -745,7 +976,7 @@ def _scaling_table(scaling: dict) -> list[str]:
     return lines
 
 
-def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries: dict[str, float], scan: dict | None = None, ann_recall: dict | None = None) -> None:
+def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries: dict[str, float], scan: dict | None = None, ann_recall: dict | None = None, pair_recall: dict | None = None) -> None:
     lo, hi = replay["low"], replay["high"]
     lines = [
         "# BENCH — measured on this container (local mode, tmpfs I/O)",
@@ -902,6 +1133,40 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
             if ann_recall
             else []
         ),
+        *(
+            [
+                "## Pair-mining recall vs exact ground truth",
+                "",
+                "Recall of the pair DETECTORS (same standard as the ANN",
+                "recall table): `minhash_lsh_*` is measured against EXACT",
+                "Jaccard >= 0.5 over the same distinct 7-shingle hash sets,",
+                "with the exact pair set found via a shared-shingle inverted",
+                "index — exhaustive, since Jaccard > 0 implies a shared",
+                "shingle — so the truth is not itself an approximation.",
+                "`embedding_rhp_*` is measured against exact ALL-PAIRS cosine",
+                ">= 0.35 (unblocked, stricter than the label-blocked gate",
+                "query). The detectors verify each candidate exactly, so",
+                "precision is 1.0 by construction; recall is the knob the",
+                "band geometry / plane count buys:",
+                "",
+                "| variant | recall |",
+                "| --- | --- |",
+                *[f"| {k} | {v} |" for k, v in pair_recall.items()],
+                "",
+                "Fewer rows per band (more, narrower bands), fewer",
+                "hyperplanes per table and more independent tables all widen",
+                "effective bucket coverage: recall rises, candidate volume",
+                "(the verify-join cost) rises with it. The single-table",
+                "plane sweep shows the structural-blindness curve at this",
+                "corpus's weak (~0.35-0.45 cosine) signal; the multi-table",
+                "rows show what the gate geometry buys back. Production",
+                "corpora re-run this sweep at their own scale, not the",
+                "analysis.",
+                "",
+            ]
+            if pair_recall
+            else []
+        ),
         "`media_features` note: round 2's 1.10 s was measurement noise — warm",
         "best-of-4 is 0.55 s with `spread()` and 0.32 s without. The ~0.24 s",
         "delta is the round-robin exchange `spread` pays on a 1-partition scan",
@@ -914,43 +1179,128 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         f.write("\n".join(lines) + "\n")
 
 
+def _fmt_events(n: int) -> str:
+    return f"{n // 1_000_000}M" if n >= 1_000_000 else str(n)
+
+
+def _guard(name: str, fn):
+    """Run one bench section fail-soft: a section that throws records its
+    error in the artifact and returns None instead of killing the run."""
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 — the artifact IS the handler
+        log(f"section {name} FAILED: {exc!r}")
+        OUT.setdefault("errors", {})[name] = repr(exc)[:500]
+        flush_partial()
+        return None
+
+
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="kcp_bench_", dir=SHM)
+    OUT.update({
+        "metric": "change-events/sec sustained MERGE-apply (32 cores)",
+        "value": None,
+        "unit": "events/sec",
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "queries": {},
+        "skipped_sections": [],
+    })
+    replay = scaling_exec = scaling_thr = scan_scaling = None
+    queries: dict[str, float] = {}
+    ann_recall = pair_recall = None
     try:
-        events_path = generate_events(tmp)
-        replay = bench_replay(tmp, events_path)
-        scaling_exec = bench_scaling(tmp, events_path, mode="executors")
-        scaling_thr = bench_scaling(tmp, events_path, mode="threads")
-        scan_scaling = bench_scan_scaling(events_path)
+        # ---- FAST sections first: these are the non-negotiable artifact ----
         spark = _session(CPUS)
-        queries = bench_queries(spark)
-        ann_recall = bench_ann_recall(spark)
+        queries = _guard("queries", lambda: bench_queries(spark)) or {}
+        OUT["queries"] = queries
+        OUT["total_query_sec"] = round(sum(queries.values()), 2)
+        flush_partial("queries")
+        ann_recall = _guard("ann_recall", lambda: bench_ann_recall(spark))
+        OUT["ann_recall_at_5"] = ann_recall
+        flush_partial("ann_recall")
+        pair_recall = _guard("pair_recall", lambda: bench_pair_recall(spark))
+        OUT["pair_recall"] = pair_recall
+        flush_partial("pair_recall")
         spark.stop()
+
+        small_total = EPOCH_EVENTS * (N_EPOCHS + 1)
+        big_total = EPOCH_EVENTS * (SCALE_MULT + 1)
+        # the big log is a superset shape; reuse it for replay when cached
+        replay_events = _events_cached(big_total) or generate_events(small_total)
+        replay = _guard("replay", lambda: bench_replay(tmp, replay_events))
+        if replay:
+            OUT["replay"] = replay
+            OUT["value"] = replay["high"]["peak_events_per_sec"]  # provisional
+            OUT["metric"] = (
+                f"change-events/sec sustained MERGE-apply "
+                f"({_fmt_events(EPOCH_EVENTS)}-event epoch, {CPUS} cores)"
+            )
+        flush_partial("replay")
+
+        # ---- SCALING sections: deadline-gated, flushed per window ----
+        gen_est = 0 if _events_cached(big_total) else 700
+        if remaining() > gen_est + 240:
+            events_path = generate_events(big_total)
+
+            def _store(key):
+                def cb(summary):
+                    OUT[key] = summary
+                    flush_partial()
+                return cb
+
+            # executor mode first (the BASELINE criterion's shape), capped
+            # so thread mode still fields windows before the deadline
+            exec_deadline = time.time() + remaining() * 0.55
+            scaling_exec = _guard("scaling_executors", lambda: bench_scaling(
+                tmp, events_path, mode="executors",
+                deadline_ts=exec_deadline, on_window=_store("scaling_executors"),
+            ))
+            OUT["scaling_executors"] = scaling_exec
+            flush_partial("scaling_executors")
+            thr_deadline = T_START + DEADLINE_SEC - 60
+            scaling_thr = _guard("scaling_threads", lambda: bench_scaling(
+                tmp, events_path, mode="threads",
+                deadline_ts=thr_deadline, on_window=_store("scaling_threads"),
+            ))
+            OUT["scaling_threads"] = scaling_thr
+            flush_partial("scaling_threads")
+            if remaining() > 300:
+                scan_scaling = _guard(
+                    "scaling_scan", lambda: bench_scan_scaling(events_path)
+                )
+                OUT["scaling_scan"] = scan_scaling
+                flush_partial("scaling_scan")
+            else:
+                OUT["skipped_sections"].append("scaling_scan")
+        else:
+            OUT["skipped_sections"] += [
+                "scaling_executors", "scaling_threads", "scaling_scan",
+            ]
+            log("deadline: skipping scaling sections entirely")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    if not any(k.startswith("SPARK_GRAFT_BENCH_") for k in os.environ):
-        write_bench_md(replay, scaling_exec, scaling_thr, queries, scan_scaling, ann_recall)
-    else:
+    # headline = the best sustained big-epoch rate that actually ran
+    highs = [s["high"]["events_per_sec"] for s in (scaling_thr, scaling_exec) if s]
+    if highs:
+        OUT["value"] = max(highs)
+        per_epoch = (scaling_thr or scaling_exec)["epoch_events"]
+        OUT["metric"] = (
+            f"change-events/sec sustained MERGE-apply ({_fmt_events(per_epoch)}"
+            f"-event pipelined epoch, {CPUS} cores)"
+        )
+
+    if any(k.startswith("SPARK_GRAFT_BENCH_") for k in os.environ):
         log("bench sizes overridden via env; NOT refreshing BENCH.md")
-    best = max(
-        scaling_thr["high"]["events_per_sec"], scaling_exec["high"]["events_per_sec"]
-    )
-    out = {
-        "metric": "change-events/sec sustained MERGE-apply "
-        f"({scaling_thr['epoch_events'] // 1_000_000}M-event epoch, 32 cores)",
-        "value": best,
-        "unit": "events/sec",
-        "queries": queries,
-        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-        "replay": replay,
-        "scaling_executors": scaling_exec,
-        "scaling_threads": scaling_thr,
-        "scaling_scan": scan_scaling,
-        "ann_recall_at_5": ann_recall,
-        "total_query_sec": round(sum(queries.values()), 2),
-    }
-    print(json.dumps(out))
+    elif replay and scaling_exec and scaling_thr:
+        write_bench_md(replay, scaling_exec, scaling_thr, queries,
+                       scan_scaling, ann_recall, pair_recall)
+    else:
+        log("scaling sections incomplete; NOT refreshing BENCH.md")
+
+    OUT["partial"] = False
+    flush_partial("final")
+    print(json.dumps(OUT))
 
 
 if __name__ == "__main__":
