@@ -303,6 +303,34 @@ def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SESSION windows per topic (streaming/stateful.py's
+    session_event_counts on its batch-replay path): deterministic bursty
+    timestamps — 100 events over 50 s, then a 150 s quiet gap — so a
+    60-second gap threshold closes a session per burst. The oracle states
+    the same sessionization as a gaps-and-islands window query (a new
+    island exactly when the inter-event gap STRICTLY exceeds the 60 000 ms
+    threshold — Spark merges touching ``[ts, ts+gap)`` intervals)."""
+    from kafka_connect_plugins_spark.streaming.stateful import session_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("event_type").alias("topic"),
+        (
+            F.lit(EPOCH0)
+            + F.expr("event_id DIV 100") * 200000
+            + (F.col("event_id") % 100) * 500
+        ).alias("timestamp"),
+    )
+    out = session_event_counts(env, gap="1 minute")
+    return out.select(
+        F.unix_timestamp("session_start").alias("session_start_sec"),
+        F.unix_timestamp("session_end").alias("session_end_sec"),
+        "topic",
+        "n_events",
+    )
+
+
 def q_clickhouse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _lineitem_envelope(spark, sf_dir)
     out = ClickHouseFlatten({"deleted.at.field": "body.deleted_at"}).apply(env)
@@ -884,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "windowed_counts": q_windowed_counts,
         "sliding_counts": q_sliding_counts,
+        "session_counts": q_session_counts,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1323,6 +1352,29 @@ def oracle_sql() -> dict[str, str]:
                   SELECT m - 60 AS window_start_sec, topic FROM b)
             SELECT window_start_sec, topic, count(*) AS n_events
             FROM w GROUP BY 1, 2
+        """,
+        "session_counts": f"""
+            WITH e AS (
+              SELECT event_type AS topic,
+                     {EPOCH0} + (event_id::BIGINT // 100) * 200000
+                              + (event_id % 100) * 500 AS ts
+              FROM events),
+            o AS (
+              SELECT topic, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY topic ORDER BY ts)
+                               > 60000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e),
+            s AS (
+              SELECT topic, ts,
+                     sum(brk) OVER (PARTITION BY topic ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT min(ts) // 1000 AS session_start_sec,
+                   (max(ts) + 60000) // 1000 AS session_end_sec,
+                   topic,
+                   count(*) AS n_events
+            FROM s GROUP BY topic, sid
         """,
         "streaming_dedup": """
             SELECT user_id,

@@ -66,6 +66,45 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "1 minute",
+    watermark: str = "2 minutes",
+    timestamp_col: str = "timestamp",
+) -> DataFrame:
+    """Event-time SESSION windows per topic: consecutive events closer than
+    ``gap`` merge into one session; a quiet period of at least ``gap``
+    closes it. The missing third window shape next to tumbling/sliding
+    (``windowed_event_counts``) — the reference is stateless per record
+    (README.md:5-23 lists only per-record SMTs), so sessionization is an
+    engine addition for the activity-analytics queries a CDC tail feeds.
+
+    ``F.session_window`` keys state by (topic, open session) — bounded by
+    live sessions, not history, and the watermark evicts closed sessions in
+    streaming mode (where Spark REQUIRES a watermark for session windows).
+    Batch replay runs the identical plan minus the watermark, so the same
+    function serves the oracle-gated validation query. Session end is
+    ``last event + gap`` (Spark's convention: a session's interval is the
+    union of per-event ``[ts, ts+gap)`` intervals, and TOUCHING intervals
+    merge — a new session starts only when the inter-event gap STRICTLY
+    exceeds ``gap``; verified at equality in tests).
+    """
+    ts = (F.col(timestamp_col) / F.lit(1000.0)).cast("timestamp").alias("__ts")
+    with_ts = events.select(F.col("topic"), ts)
+    if events.isStreaming:
+        with_ts = with_ts.withWatermark("__ts", watermark)
+    return (
+        with_ts.groupBy(F.session_window(F.col("__ts"), gap).alias("session"), F.col("topic"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "topic",
+            "n_events",
+        )
+    )
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("max_lsn", T.LongType())])
 
 

@@ -118,3 +118,65 @@ class TestStreamingLwwDedup:
         _env_rows(spark, b2).write.mode("append").parquet(src)
         run()
         assert sorted(seen) == [("k1", 9)]
+
+
+class TestSessionCounts:
+    def test_batch_sessionization(self, spark):
+        from kafka_connect_plugins_spark.streaming.stateful import session_event_counts
+
+        base = 1_700_000_000_000
+        rows = [
+            # topic a: 3 events within 60s gaps -> ONE session...
+            ("a", 0, 1, base, "k", None, (1,)),
+            ("a", 0, 2, base + 50_000, "k", None, (2,)),
+            ("a", 0, 3, base + 100_000, "k", None, (3,)),
+            # ...a gap of EXACTLY 60s: touching [ts, ts+gap) intervals
+            # merge, so this still extends the same session...
+            ("a", 0, 4, base + 160_000, "k", None, (4,)),
+            # ...and a gap strictly over 60s finally closes it
+            ("a", 0, 5, base + 220_001, "k", None, (5,)),
+            # topic b: one lone event -> singleton session
+            ("b", 0, 6, base + 10_000, "k", None, (6,)),
+        ]
+        out = session_event_counts(_env_rows(spark, rows), gap="1 minute")
+        got = sorted(
+            (r["topic"], r["n_events"],
+             int(r["session_end"].timestamp() - r["session_start"].timestamp()))
+            for r in out.collect()
+        )
+        # session interval = union of [ts, ts+gap): the 4-event session
+        # spans 160s of events + 60s gap = 220s; singletons span the gap
+        assert got == [("a", 1, 60), ("a", 4, 220), ("b", 1, 60)]
+
+    def test_streaming_matches_batch(self, spark, tmp_path):
+        """availableNow replay through a real stream (session windows REQUIRE
+        a watermark in streaming mode) collapses to the same session set the
+        batch path computes once all sessions close below the watermark."""
+        from kafka_connect_plugins_spark.streaming.stateful import session_event_counts
+
+        base = 1_700_000_000_000
+        rows = [
+            ("a", 0, 1, base, "k", None, (1,)),
+            ("a", 0, 2, base + 30_000, "k", None, (2,)),
+            ("a", 0, 3, base + 200_000, "k", None, (3,)),  # new session
+            # sentinel far in the future: pushes the watermark past every
+            # real session so append mode emits them all
+            ("z", 0, 9, base + 10_000_000, "k", None, (9,)),
+        ]
+        batch = {
+            (r["topic"], r["session_start"], r["n_events"])
+            for r in session_event_counts(_env_rows(spark, rows), gap="1 minute").collect()
+        }
+        src = str(tmp_path / "src")
+        _env_rows(spark, rows).write.parquet(src)
+        stream = spark.readStream.schema(envelope_schema(VAL_T)).parquet(src)
+        out_rows = []
+        q = (session_event_counts(stream, gap="1 minute", watermark="2 minutes")
+             .writeStream.foreachBatch(lambda df, _e: out_rows.extend(df.collect()))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        streamed = {(r["topic"], r["session_start"], r["n_events"]) for r in out_rows}
+        # every session closed below the sentinel-advanced watermark matches
+        assert streamed <= batch
+        assert {(t, n) for t, _s, n in streamed} >= {("a", 2), ("a", 1)}
