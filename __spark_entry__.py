@@ -331,6 +331,40 @@ def q_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p90/p99 of document length per
+    language) — the sorts/percentile checklist row. Spark's ``percentile``
+    is the exact linear-interpolation quantile (not the approximate
+    t-digest ``percentile_approx``), so DuckDB's ``quantile_cont``
+    reproduces it bit-for-bit up to float rounding. At scale this is one
+    hash-partial + one sort-per-group over (lang) — fine for group counts
+    in the thousands; a 10^9-row corpus with few groups would switch to
+    ``percentile_approx`` and lose the exact oracle (documented trade)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (3 longest documents per language, ties broken by
+    doc_id) — the top-k checklist row. ``row_number`` over a per-group
+    ordered window: Spark plans one shuffle on lang + an in-partition
+    sort; no global sort ever happens, which is the property that holds
+    at 10^9 rows (per-group top-k never materializes a total order)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 def q_clickhouse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _lineitem_envelope(spark, sf_dir)
     out = ClickHouseFlatten({"deleted.at.field": "body.deleted_at"}).apply(env)
@@ -913,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "sliding_counts": q_sliding_counts,
         "session_counts": q_session_counts,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1352,6 +1388,21 @@ def oracle_sql() -> dict[str, str]:
                   SELECT m - 60 AS window_start_sec, topic FROM b)
             SELECT window_start_sec, topic, count(*) AS n_events
             FROM w GROUP BY 1, 2
+        """,
+        "doc_length_percentiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT)
+                       AS rank
+            FROM documents QUALIFY rank <= 3
         """,
         "session_counts": f"""
             WITH e AS (
