@@ -394,30 +394,32 @@ def _wait_spark_teardown(timeout_s: float = 20.0) -> None:
     time.sleep(2)  # settle page-freeing
 
 
-def bench_scaling(
-    tmp: str,
-    events_path: str,
-    mode: str = "threads",
-    deadline_ts: float | None = None,
-    on_window=None,
-) -> dict | None:
-    """N vs 4N scaling as PAIRED, NOISE-GATED WINDOWS — the reproducible
-    artifact for the BASELINE criterion (scaling efficiency >= 0.8 from N
-    to 4N executors).
+class _ScalingRun:
+    """One mode's N-vs-4N scaling measurement as PAIRED, NOISE-GATED
+    WINDOWS — the reproducible artifact for the BASELINE criterion
+    (scaling efficiency >= 0.8 from N to 4N executors). ``step()`` runs
+    exactly ONE window so the caller can INTERLEAVE modes: co-tenant noise
+    on this host comes in multi-minute phases (measured: the same lc4
+    level 25 s in a quiet phase, 130-177 s in a loud one), so running all
+    executor windows first and all thread windows second gives each mode
+    one host phase; alternating gives both modes a sample of every phase.
 
     One WINDOW = both levels measured back-to-back (order alternating per
     window to cancel drift) with a memory-bandwidth probe BEFORE, BETWEEN
-    and AFTER; the window is CLEAN only if every probe reads >= 0.8 of the
-    best rate seen this run — i.e. both measurements ran under the same,
-    quiet co-tenant load. Each window also samples the host's OWN N->4N
-    process-scaling ceilings (pure-CPU burn and DRAM memcpy): on this
-    shared-hypervisor single box, 4N threads/JVMs share one memory system,
-    so no workload can express scaling above those ceilings — on a real N
-    vs 4N EXECUTOR cluster each node brings its own DRAM and the ceiling
-    terms are 1.0. Windows accumulate until ``target_clean`` are clean (or
-    ``max_windows`` tried); the HEADLINE is the median and best efficiency
-    over clean windows, with every window's raw numbers emitted so the
-    distribution — not a cherry-pick — is the artifact.
+    and AFTER; the window is CLEAN only if every probe reads >=
+    ``clean_rel`` of the best rate seen this run AND the hypervisor stole
+    <= ``steal_gate`` of CPU time during both levels (boundary probes
+    sample 1-second edges and miss bursts inside a level — see
+    ``_steal_frac``). Each window also samples the host's OWN N->4N
+    process-scaling ceilings (pure-CPU burn, DRAM memcpy, dependent random
+    gathers): on this shared-hypervisor single box, 4N threads/JVMs share
+    one memory system, so no workload can express scaling above those
+    ceilings — on a real N vs 4N EXECUTOR cluster each node brings its own
+    DRAM and the ceiling terms are 1.0. Windows accumulate until
+    ``target_clean`` are clean (or ``max_windows`` tried); the HEADLINE is
+    the median and best efficiency over clean windows, with every window's
+    raw numbers emitted so the distribution — not a cherry-pick — is the
+    artifact.
 
     Within a level, ``PIPE_EPOCHS`` consecutive epochs run through
     ``engine.replay_pipelined``: epoch i+1's narrow stats aggregation (the
@@ -427,60 +429,87 @@ def bench_scaling(
 
     ``mode="executors"``: local-cluster[1,8] vs [4,8] — real executor JVMs,
     RPC + inter-process shuffle. ``mode="threads"``: local[8] vs local[32].
-
-    ``deadline_ts`` (absolute time.time()) stops the loop before a window
-    that would not finish in time — however many windows ran ARE the
-    artifact; ``on_window`` (summary-dict callback) is invoked after every
-    window so the caller can flush incremental results. Returns ``None``
-    if the deadline left room for no window at all.
     """
-    from pyspark.sql import functions as F
 
-    from kafka_connect_plugins_spark.engine import (
-        apply_batch,
-        create_repo_table,
-        replay_pipelined,
-    )
-    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    def __init__(self, tmp: str, events_path: str, mode: str = "threads"):
+        self.tmp, self.events_path, self.mode = tmp, events_path, mode
+        low, high = max(CPUS // 4, 1), CPUS
+        self.low_cores, self.high_cores = low, high
+        if mode == "executors":
+            self.levels = {
+                low: (lambda: _session_executors(1, low), f"local-cluster[1,{low}]"),
+                high: (lambda: _session_executors(4, low), f"local-cluster[4,{low}]"),
+            }
+        else:
+            self.levels = {
+                low: (lambda: _session(low), f"local[{low}]"),
+                high: (lambda: _session(high), f"local[{high}]"),
+            }
+        self.per_epoch = EPOCH_EVENTS * max(SCALE_MULT // PIPE_EPOCHS, 1)
+        self.target_clean = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN", "3"))
+        self.max_windows = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WINDOWS", "8"))
+        # Clean gate: every probe must read >= this fraction of the best
+        # rate. 0.8 proved too loose — a window whose probes read 0.80-0.83
+        # measured the SAME lc4 job 2.7x slower than a verified-quiet run
+        # minutes later (multi-JVM levels degrade nonlinearly under noise).
+        self.clean_rel = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_REL", "0.85"))
+        self.steal_gate = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
+        self.windows: list[dict] = []
+        self.win_times: list[float] = []
+        self.w = 0
+        self.failed = False
+        self._tables_ready = False
 
-    low_cores, high_cores = max(CPUS // 4, 1), CPUS
-    if mode == "executors":
-        levels = {
-            low_cores: (lambda: _session_executors(1, low_cores), f"local-cluster[1,{low_cores}]"),
-            high_cores: (lambda: _session_executors(4, low_cores), f"local-cluster[4,{low_cores}]"),
-        }
-    else:
-        levels = {
-            low_cores: (lambda: _session(low_cores), f"local[{low_cores}]"),
-            high_cores: (lambda: _session(high_cores), f"local[{high_cores}]"),
-        }
-    per_epoch = EPOCH_EVENTS * max(SCALE_MULT // PIPE_EPOCHS, 1)
-    target_clean = int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN", "3"))
-    max_windows = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WINDOWS", "8"))
-    # Clean gate: every probe must read >= this fraction of the best rate.
-    # 0.8 proved too loose — a window whose probes read 0.80-0.83 measured
-    # the SAME lc4 job 2.7x slower than a verified-quiet run minutes later
-    # (multi-JVM levels degrade nonlinearly under partial noise).
-    clean_rel = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_REL", "0.85"))
-    # A window is also dirty if the hypervisor stole more than this fraction
-    # of CPU time DURING either level — bursts inside a level are invisible
-    # to the boundary probes (see _steal_frac).
-    steal_gate = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05"))
+    def clean_count(self) -> int:
+        return sum(1 for win in self.windows if win["clean"])
 
-    for cores in (low_cores, high_cores):  # table creation, once per level
-        path = os.path.join(tmp, f"scale_table_{mode}_{cores}")
-        if not os.path.exists(os.path.join(path, "_CURRENT")):
-            spark = levels[cores][0]()
-            create_repo_table(spark, path, num_buckets=64)
-            spark.stop()
-            _wait_spark_teardown()
+    def done(self) -> bool:
+        return (
+            self.failed
+            or self.w >= self.max_windows
+            or self.clean_count() >= self.target_clean
+        )
 
-    def run_level(cores: int, window: int) -> dict:
-        factory, label = levels[cores]
+    def est_cost(self) -> float:
+        """Worst observed window cost +10% — never START a window that would
+        blow the caller's budget (the windows already run rode the same
+        noise the next one will). First-window estimates come from measured
+        runs: executor windows pay two extra JVM-fleet spin-ups."""
+        if self.win_times:
+            est = max(self.win_times) * 1.1
+        else:
+            est = 420.0 if self.mode == "executors" else 240.0
+        if not self._tables_ready:
+            est += 90.0
+        return est
+
+    def _ensure_tables(self) -> None:
+        from kafka_connect_plugins_spark.engine import create_repo_table
+
+        if self._tables_ready:
+            return
+        for cores in (self.low_cores, self.high_cores):
+            path = os.path.join(self.tmp, f"scale_table_{self.mode}_{cores}")
+            if not os.path.exists(os.path.join(path, "_CURRENT")):
+                spark = self.levels[cores][0]()
+                create_repo_table(spark, path, num_buckets=64)
+                spark.stop()
+                _wait_spark_teardown()
+        self._tables_ready = True
+
+    def _run_level(self, cores: int, window: int) -> dict:
+        from pyspark.sql import functions as F
+
+        from kafka_connect_plugins_spark.engine import apply_batch, replay_pipelined
+        from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+
+        factory, label = self.levels[cores]
         st0 = _proc_stat()
         spark = factory()
-        events = spark.read.parquet(events_path)
-        table = LakeTable.load(spark, os.path.join(tmp, f"scale_table_{mode}_{cores}"))
+        events = spark.read.parquet(self.events_path)
+        table = LakeTable.load(
+            spark, os.path.join(self.tmp, f"scale_table_{self.mode}_{cores}")
+        )
         # Untimed in-session warmup: fresh JVMs pay JIT/codegen compilation
         # of the merge's whole-stage methods (~2-5 s) — measured once per
         # session on a small epoch so the timed run measures the engine.
@@ -490,8 +519,8 @@ def bench_scaling(
         )
         batches = [
             events.filter(
-                (F.col("offset") >= EPOCH_EVENTS + e * per_epoch)
-                & (F.col("offset") < EPOCH_EVENTS + (e + 1) * per_epoch)
+                (F.col("offset") >= EPOCH_EVENTS + e * self.per_epoch)
+                & (F.col("offset") < EPOCH_EVENTS + (e + 1) * self.per_epoch)
             )
             for e in range(PIPE_EPOCHS)
         ]
@@ -514,80 +543,105 @@ def bench_scaling(
             "epoch_phases": [s.phases for s in stats],
         }
 
-    windows: list[dict] = []
-    win_times: list[float] = []
-    w = 0
-    while w < max_windows and sum(1 for win in windows if win["clean"]) < target_clean:
-        # deadline gate: never START a window that would blow the budget —
-        # estimate from the windows already run (they ride the same noise)
-        est = max(win_times) * 1.1 if win_times else 300.0
-        if deadline_ts is not None and time.time() + est > deadline_ts:
-            log(f"scaling[{mode}]: deadline — stopping after {w} window(s)")
-            break
+    def step(self) -> dict:
+        """Measure ONE window (both levels + probes + ceilings), append it,
+        and return it. Raises on hard failure (caller marks the run failed)."""
+        self._ensure_tables()
+        w = self.w
         w_t0 = time.time()
         wait_for_quiet_host()
-        order = (low_cores, high_cores) if w % 2 == 0 else (high_cores, low_cores)
+        order = (
+            (self.low_cores, self.high_cores)
+            if w % 2 == 0
+            else (self.high_cores, self.low_cores)
+        )
         probes = [probe_rate()]
         results = {}
         for cores in order:
-            results[cores] = run_level(cores, w)
+            results[cores] = self._run_level(cores, w)
             # a teardown transient (executor heap freeing) recovers within
             # ~20 s; sustained co-tenant noise does not — best of 3 spaced
             pr = probe_rate()
             for _ in range(2):
-                if pr >= clean_rel * _BEST_PROBE:
+                if pr >= self.clean_rel * _BEST_PROBE:
                     break
                 time.sleep(10)
                 pr = max(pr, probe_rate())
             probes.append(pr)
         rel = [round(pr / _BEST_PROBE, 3) for pr in probes]
         steal_max = max(results[c]["steal_frac"] for c in order)
-        clean = min(rel) >= clean_rel and steal_max <= steal_gate
-        eff = results[high_cores]["events_per_sec"] / (
-            (high_cores / low_cores) * results[low_cores]["events_per_sec"]
+        clean = min(rel) >= self.clean_rel and steal_max <= self.steal_gate
+        eff = results[self.high_cores]["events_per_sec"] / (
+            (self.high_cores / self.low_cores)
+            * results[self.low_cores]["events_per_sec"]
         )
         # Per-window host ceilings: ONE interleaved trial each — captures
         # whether THIS window's ceiling binds below the target; the
         # run-level headline takes the median across windows.
-        cpu_c = host_cpu_ceiling(low_cores, high_cores, trials=1)
-        bw_c = host_mem_bandwidth_ceiling(low_cores, high_cores, trials=1)
-        ra_c = host_random_access_ceiling(low_cores, high_cores, trials=1)
+        cpu_c = host_cpu_ceiling(self.low_cores, self.high_cores, trials=1)
+        bw_c = host_mem_bandwidth_ceiling(self.low_cores, self.high_cores, trials=1)
+        ra_c = host_random_access_ceiling(self.low_cores, self.high_cores, trials=1)
         win = {
             "window": w,
-            "order": [levels[c][1] for c in order],
-            "low_s": results[low_cores]["seconds"],
-            "high_s": results[high_cores]["seconds"],
-            "low_events_per_sec": results[low_cores]["events_per_sec"],
-            "high_events_per_sec": results[high_cores]["events_per_sec"],
+            "order": [self.levels[c][1] for c in order],
+            "low_s": results[self.low_cores]["seconds"],
+            "high_s": results[self.high_cores]["seconds"],
+            "low_events_per_sec": results[self.low_cores]["events_per_sec"],
+            "high_events_per_sec": results[self.high_cores]["events_per_sec"],
             "eff": round(eff, 3),
             "probes_rel": rel,
-            "low_steal": results[low_cores]["steal_frac"],
-            "high_steal": results[high_cores]["steal_frac"],
+            "low_steal": results[self.low_cores]["steal_frac"],
+            "high_steal": results[self.high_cores]["steal_frac"],
             "clean": clean,
             "cpu_ceiling": round(cpu_c, 3),
             "membw_ceiling": round(bw_c, 3),
             "randaccess_ceiling": round(ra_c, 3),
             "eff_normalized_membw": round(eff / bw_c, 3) if bw_c else 0.0,
             "eff_normalized_randaccess": round(eff / ra_c, 3) if ra_c else 0.0,
-            "low_phases": results[low_cores]["epoch_phases"],
-            "high_phases": results[high_cores]["epoch_phases"],
+            "low_phases": results[self.low_cores]["epoch_phases"],
+            "high_phases": results[self.high_cores]["epoch_phases"],
         }
-        windows.append(win)
-        win_times.append(time.time() - w_t0)
-        log(f"scaling[{mode}] window {w}: low {win['low_s']}s high {win['high_s']}s"
-            f" eff {win['eff']} probes {rel} steal {win['low_steal']}/{win['high_steal']}"
+        self.windows.append(win)
+        self.win_times.append(time.time() - w_t0)
+        log(f"scaling[{self.mode}] window {w}: low {win['low_s']}s"
+            f" high {win['high_s']}s eff {win['eff']} probes {rel}"
+            f" steal {win['low_steal']}/{win['high_steal']}"
             f" {'CLEAN' if clean else 'noisy'}"
             f" ceilings cpu {win['cpu_ceiling']} membw {win['membw_ceiling']}"
             f" gather {win['randaccess_ceiling']}")
-        w += 1
-        if on_window is not None:
-            on_window(_scaling_summary(
-                mode, windows, per_epoch, clean_rel, low_cores, high_cores, levels
-            ))
+        self.w += 1
+        return win
 
-    out = _scaling_summary(
-        mode, windows, per_epoch, clean_rel, low_cores, high_cores, levels
-    )
+    def summary(self) -> dict | None:
+        return _scaling_summary(
+            self.mode, self.windows, self.per_epoch, self.clean_rel,
+            self.low_cores, self.high_cores, self.levels,
+        )
+
+
+def bench_scaling(
+    tmp: str,
+    events_path: str,
+    mode: str = "threads",
+    deadline_ts: float | None = None,
+    on_window=None,
+) -> dict | None:
+    """Single-mode window loop (see ``_ScalingRun``). ``deadline_ts``
+    (absolute time.time()) stops the loop before a window that would not
+    finish in time — however many windows ran ARE the artifact;
+    ``on_window`` (summary-dict callback) is invoked after every window so
+    the caller can flush incremental results. Returns ``None`` if the
+    deadline left room for no window at all."""
+    run = _ScalingRun(tmp, events_path, mode)
+    while not run.done():
+        if deadline_ts is not None and time.time() + run.est_cost() > deadline_ts:
+            log(f"scaling[{mode}]: deadline — stopping after {run.w} window(s)")
+            break
+        run.step()
+        if on_window is not None:
+            on_window(run.summary())
+
+    out = run.summary()
     if out is None:
         log(f"scaling[{mode}]: no window fit inside the deadline")
         return None
@@ -1281,28 +1335,39 @@ def main() -> None:
         if remaining() > gen_est + 240:
             events_path = generate_events(big_total)
 
-            def _store(key):
-                def cb(summary):
-                    OUT[key] = summary
-                    flush_partial()
-                return cb
-
-            # executor mode first (the BASELINE criterion's shape), capped
-            # so thread mode still fields windows before the deadline
-            exec_deadline = time.time() + remaining() * 0.55
-            scaling_exec = _guard("scaling_executors", lambda: bench_scaling(
-                tmp, events_path, mode="executors",
-                deadline_ts=exec_deadline, on_window=_store("scaling_executors"),
-            ))
+            # INTERLEAVE the two modes window-by-window: host noise comes in
+            # multi-minute phases, so all-exec-then-all-threads gives each
+            # mode ONE phase; alternating samples both modes across every
+            # phase the run lives through (executor mode — the criterion's
+            # shape — goes first in each cycle).
+            runs = {
+                "scaling_executors": _ScalingRun(tmp, events_path, "executors"),
+                "scaling_threads": _ScalingRun(tmp, events_path, "threads"),
+            }
+            scaling_deadline = T_START + DEADLINE_SEC - 60
+            while True:
+                progressed = False
+                for key, run in runs.items():
+                    if run.done():
+                        continue
+                    if time.time() + run.est_cost() > scaling_deadline:
+                        log(f"{key}: deadline — {run.w} window(s) ran")
+                        continue
+                    try:
+                        run.step()
+                    except Exception as exc:  # fail-soft: keep the other mode
+                        log(f"{key} window FAILED: {exc!r}")
+                        run.failed = True
+                    OUT[key] = run.summary()
+                    flush_partial(key)
+                    progressed = True
+                if not progressed:
+                    break
+            scaling_exec = runs["scaling_executors"].summary()
+            scaling_thr = runs["scaling_threads"].summary()
             OUT["scaling_executors"] = scaling_exec
-            flush_partial("scaling_executors")
-            thr_deadline = T_START + DEADLINE_SEC - 60
-            scaling_thr = _guard("scaling_threads", lambda: bench_scaling(
-                tmp, events_path, mode="threads",
-                deadline_ts=thr_deadline, on_window=_store("scaling_threads"),
-            ))
             OUT["scaling_threads"] = scaling_thr
-            flush_partial("scaling_threads")
+            flush_partial()
             if remaining() > 300:
                 scan_scaling = _guard(
                     "scaling_scan", lambda: bench_scan_scaling(events_path)
