@@ -365,6 +365,122 @@ def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — each event picks the customer's latest order
+    at-or-before its as-of instant (``operators/asof_join.py``: one shuffle
+    on the key, union + carry-forward window, no range explosion). The
+    as-of instant is derived deterministically from event_id so it spans
+    the orders' 1995-2001 date range: early instants have NO prior order
+    and exercise the left-outer NULL path. The right side is pre-deduped
+    to one row per (custkey, orderdate) — greatest orderkey wins — so the
+    winner is well-defined on both engines (DuckDB: native ASOF LEFT
+    JOIN)."""
+    from kafka_connect_plugins_spark.operators.asof_join import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0,"
+            " cast(event_id % 2400 as int), 0, 0, 0)"
+        ).alias("asof_ts"),
+    )
+    r = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    out = asof_join(
+        ev, r, "user_id", "o_custkey", "asof_ts", "o_orderdate",
+        direction="backward", how="left", prefix="r_",
+    )
+    return out.select(
+        "event_id", "user_id", "asof_ts",
+        "r_o_orderkey", "r_o_orderdate", "r_o_totalprice",
+    )
+
+
+def q_rollup_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate in ONE pass — ROLLUP(lang, source) produces
+    per-(lang, source), per-lang, and grand-total rows from a single
+    shuffle (Spark expands grouping sets map-side; no re-scan per level).
+    GROUPING() flags disambiguate data NULLs from subtotal NULLs."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "source", "g_lang", "g_source", "n_docs", "sum_chars")
+    )
+
+
+def q_events_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join — every (event, order) pair where the event's
+    as-of instant falls inside the order's 7-day window
+    (`operators/interval_join.py`: right intervals exploded to fixed
+    buckets, plain (key, bucket) equi-join + exact refine — never the
+    BroadcastNestedLoopJoin Spark would plan for the raw inequality
+    join). DuckDB runs the inequality join directly as ground truth."""
+    from kafka_connect_plugins_spark.operators.interval_join import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0,"
+            " cast(event_id % 2400 as int), 0, 0, 0)"
+        ).alias("asof_ts"),
+    )
+    r = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("interval 7 days")).alias("o_window_end"),
+    )
+    out = interval_join(
+        ev, r, "user_id", "o_custkey", "asof_ts", "o_orderdate", "o_window_end",
+        bucket="7 days",
+    )
+    return out.select("event_id", "user_id", "asof_ts", "r_o_orderkey")
+
+
+def q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample — membership derives from md5(doc_id), not
+    from an RNG, so the SAME rows are selected on any cluster size, any
+    partitioning, any engine (the oracle reproduces the exact row set in
+    DuckDB — row-level agreement, not just counts). Map-only: a filter on
+    the scan (`functions/sampling.py`)."""
+    from kafka_connect_plugins_spark.functions.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(deterministic_sample("doc_id", 0.05)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment (98/1/1) — the dataset-split op a
+    training pipeline runs over every corpus. Hash-derived (md5 uniform
+    draw), so stable under repartition/backfill and auditable by the
+    DuckDB oracle; aggregated per split for the gate."""
+    from kafka_connect_plugins_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split("doc_id", {"train": 0.98, "val": 0.01, "test": 0.01})
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 def q_clickhouse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _lineitem_envelope(spark, sf_dir)
     out = ClickHouseFlatten({"deleted.at.field": "body.deleted_at"}).apply(env)
@@ -949,6 +1065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counts": q_session_counts,
         "doc_length_percentiles": q_doc_length_percentiles,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "events_asof_orders": q_events_asof_orders,
+        "rollup_doc_counts": q_rollup_doc_counts,
+        "sampled_docs": q_sampled_docs,
+        "doc_split_counts": q_doc_split_counts,
+        "events_in_order_windows": q_events_in_order_windows,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1403,6 +1524,66 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT)
                        AS rank
             FROM documents QUALIFY rank <= 3
+        """,
+        "events_asof_orders": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       TIMESTAMP '1995-01-01'
+                           + (event_id % 2400) * INTERVAL 1 DAY AS asof_ts
+                FROM events
+            ), r AS (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS o_orderkey,
+                       arg_max(o_totalprice, o_orderkey) AS o_totalprice
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.asof_ts,
+                   r.o_orderkey   AS r_o_orderkey,
+                   r.o_orderdate  AS r_o_orderdate,
+                   r.o_totalprice AS r_o_totalprice
+            FROM e ASOF LEFT JOIN r
+              ON e.user_id = r.o_custkey AND e.asof_ts >= r.o_orderdate
+        """,
+        "rollup_doc_counts": """
+            SELECT lang, source,
+                   CAST(GROUPING(lang) AS INT)   AS g_lang,
+                   CAST(GROUPING(source) AS INT) AS g_source,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "events_in_order_windows": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       TIMESTAMP '1995-01-01'
+                           + (event_id % 2400) * INTERVAL 1 DAY AS asof_ts
+                FROM events
+            )
+            SELECT e.event_id, e.user_id, e.asof_ts,
+                   r.o_orderkey AS r_o_orderkey
+            FROM e JOIN orders r
+              ON e.user_id = r.o_custkey
+             AND e.asof_ts >= r.o_orderdate
+             AND e.asof_ts < r.o_orderdate + INTERVAL 7 DAY
+        """,
+        "sampled_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) / 4294967296.0 < 0.05
+        """,
+        "doc_split_counts": """
+            WITH u AS (
+                SELECT n_chars,
+                       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) / 4294967296.0 AS draw
+                FROM documents
+            )
+            SELECT CASE WHEN draw < 0.98 THEN 'train'
+                        WHEN draw < 0.99 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars
+            FROM u GROUP BY 1
         """,
         "session_counts": f"""
             WITH e AS (

@@ -3,6 +3,8 @@ training-data-pipeline operators (near-dup detection, similarity search,
 multimodal plumbing)."""
 
 from kafka_connect_plugins_spark.operators import multimodal, neardup, similarity  # noqa: F401
+from kafka_connect_plugins_spark.operators.asof_join import asof_join, asof_join_bucketed  # noqa: F401
+from kafka_connect_plugins_spark.operators.interval_join import interval_join  # noqa: F401
 from kafka_connect_plugins_spark.operators.base import Pipeline, Stage, registry, stage
 from kafka_connect_plugins_spark.operators.clickhouse_flatten import ClickHouseFlatten
 from kafka_connect_plugins_spark.operators.json_to_hex import JsonToHex
