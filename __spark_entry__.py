@@ -451,6 +451,71 @@ def q_events_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "asof_ts", "r_o_orderkey")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts, one column per event
+    type. The value list is EXPLICIT — at 10^10 rows an implicit pivot
+    first runs a distinct over the pivot column; pinning the columns keeps
+    this a single hash aggregate. DuckDB oracle: FILTER aggregates."""
+    events = _t(spark, sf_dir, "events")
+    out = events.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate: per-user running sum of `value` in
+    event-time order. ROWS frame over a per-user ordered window — one
+    shuffle on user_id, in-partition sort, sequential accumulation (the
+    same association order DuckDB uses, so float sums agree; rounded to
+    damp the last ulp). (user_id, ts) is unique in the generator, so the
+    frame is deterministic."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+def q_event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks when the
+    per-user gap exceeds 30 minutes; sessions then aggregate to one row.
+    Two window passes over ONE user_id shuffle (lag -> boundary flag ->
+    running sum = session number), then a hash aggregate — the classic
+    formulation, and the batch twin of the streaming `session_counts`
+    gate (`F.session_window`)."""
+    events = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    # gap in INTEGER microseconds: exact on both engines (a float-seconds
+    # gap could straddle the 1800 s boundary differently after rounding)
+    # ts is TIMESTAMP_NTZ in the parquet; unix_micros wants TIMESTAMP. The
+    # cast (session tz) only shifts an additive constant — gaps are exact.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(wo)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = events.withColumn(
+        "session_no", F.sum(is_new).over(wrun)
+    )
+    return sessioned.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5% sample — membership derives from md5(doc_id), not
     from an RNG, so the SAME rows are selected on any cluster size, any
@@ -1070,6 +1135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_docs": q_sampled_docs,
         "doc_split_counts": q_doc_split_counts,
         "events_in_order_windows": q_events_in_order_windows,
+        "pivot_user_events": q_pivot_user_events,
+        "user_running_value": q_user_running_value,
+        "event_sessions_batch": q_event_sessions_batch,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1565,6 +1633,47 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = r.o_custkey
              AND e.asof_ts >= r.o_orderdate
              AND e.asof_ts < r.o_orderdate + INTERVAL 7 DAY
+        """,
+        "pivot_user_events": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "user_running_value": """
+            SELECT event_id, user_id, ts,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS running_value
+            FROM events
+        """,
+        "event_sessions_batch": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_no
+                FROM g
+            )
+            SELECT user_id, session_no,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY 1, 2
         """,
         "sampled_docs": """
             SELECT doc_id, lang, n_chars FROM documents
