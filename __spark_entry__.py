@@ -516,6 +516,28 @@ def q_event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> sorted posting list + document
+    frequency. explode(array_distinct(tokens)) keeps one (doc, term) pair
+    per document BEFORE the shuffle (map-side projection), then one hash
+    aggregate per term. At 10^9 docs the posting list of a stopword is
+    itself the skew problem — production builds cap or bucket-shard hot
+    terms (the LSH band-geometry lever's twin); the gate keeps the exact
+    list so DuckDB can reproduce it element-for-element."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )
+
+
 def q_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5% sample — membership derives from md5(doc_id), not
     from an RNG, so the SAME rows are selected on any cluster size, any
@@ -1138,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_user_events": q_pivot_user_events,
         "user_running_value": q_user_running_value,
         "event_sessions_batch": q_event_sessions_batch,
+        "token_postings": q_token_postings,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1674,6 +1697,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY 1, 2
+        """,
+        "token_postings": """
+            WITH t AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            SELECT term,
+                   array_agg(doc_id ORDER BY doc_id) AS doc_ids,
+                   count(*) AS df
+            FROM t GROUP BY term
         """,
         "sampled_docs": """
             SELECT doc_id, lang, n_chars FROM documents
