@@ -516,6 +516,30 @@ def q_event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's LAST step: keep ONE document per near-dup
+    cluster — the longest member, ties to the smallest doc_id. Composes
+    the mined pair set (shared LSH cache) -> connected components -> a
+    per-cluster argmax via ``max_by(x, struct(n_chars, -doc_id))``, which
+    Spark executes as a hash aggregate with map-side partial collapse —
+    one row per cluster crosses the shuffle, never the cluster's members
+    (the same argmax-not-sort pattern as the merge's LWW winner agg,
+    plans/lake_table.py). The DuckDB oracle re-derives clusters with the
+    recursive CTE and picks representatives with a window."""
+    docs = _t(spark, sf_dir, "documents")
+    labels = neardup.dedup_clusters(
+        docs, "doc_id", "text", verify_threshold=0.5,
+        pairs=_lsh_pairs(spark, sf_dir),
+    ).select("doc_id", "cluster_id")
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    order = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+    return j.groupBy("cluster_id").agg(
+        F.max_by("doc_id", order).alias("rep_doc_id"),
+        F.max_by("n_chars", order).alias("rep_n_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: term -> sorted posting list + document
     frequency. explode(array_distinct(tokens)) keeps one (doc, term) pair
@@ -1161,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_value": q_user_running_value,
         "event_sessions_batch": q_event_sessions_batch,
         "token_postings": q_token_postings,
+        "cluster_representatives": q_cluster_representatives,
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
@@ -1442,6 +1467,31 @@ def oracle_sql() -> dict[str, str]:
                    min(lab) AS cluster_id,
                    (min(lab) = node) AS is_keeper
             FROM reach GROUP BY node
+        """,
+        "cluster_representatives": f"""
+            WITH RECURSIVE
+            {_LSH_PAIRS_CTES},
+            pairs AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node
+            ),
+            labels AS (SELECT node AS doc_id, min(lab) AS cluster_id
+                       FROM reach GROUP BY node),
+            j AS (SELECT l.cluster_id, d.doc_id, d.n_chars
+                  FROM labels l JOIN documents d USING (doc_id))
+            SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+                   n_members
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY cluster_id) AS n_members
+                  FROM j)
+            WHERE rn = 1
         """,
         "simhash_docs": f"""
             SELECT doc_id, {_SIMHASH_SQL} AS simhash

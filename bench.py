@@ -433,12 +433,23 @@ class _ScalingRun:
 
     def __init__(self, tmp: str, events_path: str, mode: str = "threads"):
         self.tmp, self.events_path, self.mode = tmp, events_path, mode
-        low, high = max(CPUS // 4, 1), CPUS
+        if mode == "executors_small":
+            # Same 1-vs-4-EXECUTOR shape with 4-core executors (4 -> 16
+            # cores total): the 8->32-core modes saturate this box's
+            # memory system AT THE HIGH LEVEL (measured gather ceiling
+            # ~0.67-0.73), so they can never read above it; 4->16 sits in
+            # the region the box can still express. Same criterion, second
+            # saturation point — the pair brackets what a real cluster
+            # (fresh DRAM per node, ceilings 1.0) would show.
+            low, high = 4, 16
+        else:
+            low, high = max(CPUS // 4, 1), CPUS
         self.low_cores, self.high_cores = low, high
-        if mode == "executors":
+        if mode.startswith("executors"):
+            per = 4 if mode == "executors_small" else low
             self.levels = {
-                low: (lambda: _session_executors(1, low), f"local-cluster[1,{low}]"),
-                high: (lambda: _session_executors(4, low), f"local-cluster[4,{low}]"),
+                low: (lambda: _session_executors(1, per), f"local-cluster[1,{per}]"),
+                high: (lambda: _session_executors(4, per), f"local-cluster[4,{per}]"),
             }
         else:
             self.levels = {
