@@ -592,6 +592,115 @@ def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — the warehouse-side materialization a CDC
+    ingest feeds (the reference's RedShift/ClickHouse sinks land the raw
+    change stream, `/root/reference/README.md:38,58`; this op turns it into
+    the slowly-changing-dimension table analysts actually join against).
+    Each change event opens a version row whose validity closes when the
+    next change for the same key arrives; the last version per key is
+    flagged current. ONE shuffle on the entity key + an in-partition sort
+    (lead window) — at 10^10 rows the sort is bounded by per-entity history
+    length, never global, and the key shuffle is the same partitioning the
+    MERGE sink already uses, so a lake-table pipeline gets this for free
+    behind ReuseExchange."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup (TPC-H Q5 shape): lineitem x orders x
+    customer x nation x region, revenue per nation for one region/year.
+    Scale posture: the date filter is a plain range predicate so it PUSHES
+    DOWN to the orders parquet scan; nation/region are broadcast (hinted);
+    customer joins on its key via shuffle (it is NOT broadcast — at 100 TB
+    customer is a billion rows); the lineitem-orders join is the only
+    fact-fact shuffle and AQE sizes it. Money math in DECIMAL so the sum
+    is exact and association-order-independent — the double-sum of a
+    billion items differs between engines in the last ulp; a decimal sum
+    cannot."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-group quota) sampling: exactly ceil(n/10) documents
+    from EVERY language — the corpus-balancing op a training pipeline runs
+    so low-resource strata aren't washed out by a global Bernoulli draw
+    (`sampled_docs` is that global draw; this is its quota twin). Selection
+    ranks each stratum by the same md5-uniform draw, so membership is
+    deterministic and engine-auditable. lang cardinality is tiny, so the
+    per-group sort is ONE skew-prone shuffle: the scale path is per-stratum
+    salted TOP-(quota/salt) pre-ranking, or a two-phase hash-threshold
+    (count -> broadcast per-group threshold -> map-only filter) when
+    near-exact quotas suffice."""
+    from kafka_connect_plugins_spark.functions.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    wr = Window.partitionBy("lang").orderBy("__u", "doc_id")
+    wc = Window.partitionBy("lang")
+    return (
+        docs.withColumn("__u", hash_uniform("doc_id"))
+        .withColumn("__rk", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rk") <= F.ceil(F.col("__n") / F.lit(10.0)))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential audit via LEFT ANTI join — the orphan check a CDC
+    pipeline runs after every backfill (keys that exist in the dimension
+    but never in the fact reveal dropped topics/partitions). The fact side
+    is scoped to the backfill's date slice — a range predicate PUSHED to
+    the orders scan, and column pruning reduces that scan to
+    (o_custkey, o_orderdate) only; Spark then plans a hash anti-join.
+    Per-nation counts make the audit a dashboard row, with min/max sample
+    keys for triage."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01")
+    )
+    orphans = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return orphans.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
 def q_clickhouse_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _lineitem_envelope(spark, sf_dir)
     out = ClickHouseFlatten({"deleted.at.field": "body.deleted_at"}).apply(env)
@@ -1180,6 +1289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_doc_counts": q_rollup_doc_counts,
         "sampled_docs": q_sampled_docs,
         "doc_split_counts": q_doc_split_counts,
+        "scd2_user_history": q_scd2_user_history,
+        "nation_revenue": q_nation_revenue,
+        "stratified_sample": q_stratified_sample,
+        "customers_without_orders": q_customers_without_orders,
         "events_in_order_windows": q_events_in_order_windows,
         "pivot_user_events": q_pivot_user_events,
         "user_running_value": q_user_running_value,
@@ -1762,6 +1875,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) / 4294967296.0 < 0.05
+        """,
+        "scd2_user_history": """
+            SELECT user_id, event_id AS lsn, event_type, value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                       AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "stratified_sample": """
+            WITH u AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) / 4294967296.0 AS draw
+                FROM documents
+            ), r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY draw, doc_id) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM u
+            )
+            SELECT doc_id, lang, n_chars FROM r
+            WHERE rk <= ceil(n / 10.0)
+        """,
+        "customers_without_orders": """
+            SELECT c_nationkey,
+                   count(*) AS n_orphans,
+                   min(c_custkey) AS min_custkey,
+                   max(c_custkey) AS max_custkey
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+            )
+            GROUP BY c_nationkey
         """,
         "doc_split_counts": """
             WITH u AS (

@@ -1086,7 +1086,7 @@ def _scaling_table(scaling: dict) -> list[str]:
     return lines
 
 
-def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries: dict[str, float], scan: dict | None = None, ann_recall: dict | None = None, pair_recall: dict | None = None) -> None:
+def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries: dict[str, float], scan: dict | None = None, ann_recall: dict | None = None, pair_recall: dict | None = None, scaling_small: dict | None = None) -> None:
     lo, hi = replay["low"], replay["high"]
     lines = [
         "# BENCH — measured on this container (local mode, tmpfs I/O)",
@@ -1115,6 +1115,24 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         "",
         *_scaling_table(scaling_exec),
         "",
+        *(
+            [
+                "## Scaling — 1 vs 4 executors at 4->16 cores (unsaturated bracket)",
+                "",
+                "The 8->32-core modes read against a box whose own 8->32",
+                "memory-parallelism ceiling is ~0.67-0.77 — the HIGH level is",
+                "saturated. The same 1-vs-4-executor criterion at 4-core",
+                "executors (local-cluster[1,4] vs [4,4]) sits where the box",
+                "still has headroom; together the two points bracket what a",
+                "real cluster (fresh DRAM per node, ceilings 1.0) would show.",
+                "Full bracket runs: tools/bench_exec_small.py.",
+                "",
+                *_scaling_table(scaling_small),
+                "",
+            ]
+            if scaling_small
+            else []
+        ),
         "## Scaling — N vs 4N cores, single JVM (secondary)",
         "",
         "Same epochs on local[8] vs local[32] thread parallelism:",
@@ -1384,7 +1402,8 @@ def main() -> None:
         flush_partial("replay")
 
         # ---- SCALING sections: deadline-gated, flushed per window ----
-        gen_est = 0 if _events_cached(big_total) else 700
+        # generation cost scales with event count (700 s measured at 96 M)
+        gen_est = 0 if _events_cached(big_total) else max(30, 700 * big_total // 96_000_000)
         if remaining() > gen_est + 240:
             events_path = generate_events(big_total)
 
@@ -1396,7 +1415,16 @@ def main() -> None:
             runs = {
                 "scaling_executors": _ScalingRun(tmp, events_path, "executors"),
                 "scaling_threads": _ScalingRun(tmp, events_path, "threads"),
+                # one bracket window at the UNSATURATED point (4->16 cores,
+                # same 1-vs-4-executor shape): measured 0.612 clean raw /
+                # 0.83 of the gather ceiling where 8->32 reads 0.50/0.63 —
+                # capped at a single window so the primary modes keep the
+                # budget (full bracket runs: tools/bench_exec_small.py)
+                "scaling_executors_small": _ScalingRun(
+                    tmp, events_path, "executors_small"
+                ),
             }
+            runs["scaling_executors_small"].max_windows = 1
             scaling_deadline = T_START + DEADLINE_SEC - 60
             while True:
                 progressed = False
@@ -1451,7 +1479,8 @@ def main() -> None:
         log("bench sizes overridden via env; NOT refreshing BENCH.md")
     elif replay and scaling_exec and scaling_thr:
         write_bench_md(replay, scaling_exec, scaling_thr, queries,
-                       scan_scaling, ann_recall, pair_recall)
+                       scan_scaling, ann_recall, pair_recall,
+                       scaling_small=OUT.get("scaling_executors_small"))
     else:
         log("scaling sections incomplete; NOT refreshing BENCH.md")
 

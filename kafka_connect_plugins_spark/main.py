@@ -104,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintenance: drop delete markers below the ingest's "
                         "min per-partition applied-LSN watermark (from the "
                         "metrics log), then exit")
+    p.add_argument("--rebucket", type=int, default=None, metavar="N",
+                   help="maintenance: re-hash the table to N key buckets in "
+                        "one atomic snapshot (full rewrite; time travel "
+                        "across it stays correct), then exit")
+    p.add_argument("--lookup", default=None, metavar="JSON",
+                   help='point read: JSON key dict (or list of dicts), e.g. '
+                        '\'{"repo": "r1", "path": "a.py"}\' — scans ONLY the '
+                        "buckets the keys hash to, prints rows as JSON lines, "
+                        "then exits")
     args = p.parse_args(argv)
 
     from kafka_connect_plugins_spark.engine import create_repo_table
@@ -140,10 +149,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         table = LakeTable.load(spark, args.table)
 
-    if args.compact or args.expire_keep is not None or args.purge_below_watermark:
+    if args.lookup:
+        for row in table.lookup(json.loads(args.lookup)).toJSON().collect():
+            print(row)
+        return 0
+
+    if (
+        args.compact
+        or args.expire_keep is not None
+        or args.purge_below_watermark
+        or args.rebucket is not None
+    ):
         out = {}
         if args.compact:
             out["compacted_buckets"] = table.compact()
+        if args.rebucket is not None:
+            out["rebucketed_buckets"] = table.rebucket(args.rebucket)
         if args.purge_below_watermark:
             metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
             out["purge"] = table.purge_below_watermark(metrics, args.stream_id)

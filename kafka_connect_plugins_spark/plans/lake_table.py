@@ -68,6 +68,8 @@ class MergeStats:
     source_rows: int = 0
     dirty_buckets: int = 0
     total_buckets: int = 0
+    # Distinct keys upserted this epoch (the winner set; in defer mode this
+    # is exactly the delta rows appended).
     rows_written: int = 0
     schema_added_columns: list[str] = field(default_factory=list)
     seconds: float = 0.0
@@ -268,6 +270,73 @@ class LakeTable:
     def read_internal(self) -> DataFrame | None:
         """Current snapshot including _lsn/_bucket bookkeeping columns."""
         return self._read_buckets(self.manifest(), None)
+
+    def lookup(
+        self, keys: dict | list[dict], version: int | None = None
+    ) -> DataFrame:
+        """Key-pruned point read (Iceberg bucket-partition pruning).
+
+        Each requested key hashes to exactly one bucket, so only those
+        buckets' files are listed and scanned — ``O(k/num_buckets)`` of the
+        table for ``k`` keys instead of a full snapshot scan. At 100 TB and
+        the default 64 buckets, a single-key fetch touches ~1.6% of the
+        data; real deployments size ``num_buckets`` so one bucket is a few
+        GB and a lookup is sub-second. The bucket ids come from ONE tiny
+        Spark job over the literal key rows (the SAME ``pmod(xxhash64(*keys),
+        n)`` expression the writer uses — never a Python reimplementation
+        that could drift), then directory pruning in ``_read_buckets`` does
+        the skipping.
+
+        ``keys``: one dict (or a list of dicts) mapping EVERY key column to
+        a value; NULL components are legal (matched null-safely, mirroring
+        ``merge``). Delete markers are filtered — a deleted key returns no
+        row. ``version`` time-travels the lookup.
+        """
+        rows = [keys] if isinstance(keys, dict) else list(keys)
+        manifest = self.manifest(version)
+        key_cols = manifest["key_columns"]
+        n_buckets = int(manifest["num_buckets"])
+        schema = self._table_schema(manifest)
+        if schema is None:
+            raise ValueError("empty table with no schema yet")
+        for r in rows:
+            missing = [k for k in key_cols if k not in r]
+            if missing:
+                raise ValueError(f"lookup key missing columns: {missing}")
+        key_schema = T.StructType([f_ for f_ in schema.fields if f_.name in key_cols])
+        keys_df = self.spark.createDataFrame(
+            [tuple(r[k] for k in key_cols) for r in rows], key_schema
+        )
+        bucket_rows = keys_df.select(
+            F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+            .cast("int")
+            .alias("__b")
+        ).collect()
+        buckets = sorted({r["__b"] for r in bucket_rows})
+        df = self._read_buckets(manifest, buckets)
+        if df is None:
+            return self.spark.createDataFrame([], schema)
+        if len(rows) == 1:
+            # single key: plain (null-safe) predicates — these PUSH DOWN to
+            # the parquet row-group stats inside the pruned bucket
+            for k in key_cols:
+                df = df.filter(F.col(k).eqNullSafe(F.lit(rows[0][k])))
+        else:
+            df = df.join(F.broadcast(keys_df), on=key_cols, how="left_semi")
+            if any(r[k] is None for r in rows for k in key_cols):
+                # semi-join ON uses plain equality; re-add null-keyed rows
+                # null-safely (rare path, bounded by the request size)
+                conds = None
+                for r in rows:
+                    c = F.lit(True)
+                    for k in key_cols:
+                        c = c & F.col(k).eqNullSafe(F.lit(r[k]))
+                    conds = c if conds is None else (conds | c)
+                base = self._read_buckets(manifest, buckets)
+                df = base.filter(conds)
+        if TOMBSTONE_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return df.select(*[f_.name for f_ in schema.fields])
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed between two snapshots (Delta CDF / Iceberg
@@ -1028,6 +1097,7 @@ class LakeTable:
             source_rows=src_rows,
             dirty_buckets=len(dirty),
             total_buckets=len(buckets),
+            rows_written=prep.n_winner_keys,
             schema_added_columns=added,
             seconds=time.time() - t0,
             lineage=lineage,
@@ -1089,6 +1159,70 @@ class LakeTable:
             }
         )
         return len(todo)
+
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Change the table's bucket count in one atomic snapshot (the
+        Iceberg partition-spec-evolution analogue).
+
+        A bucket count sized for the first 100 GB is wrong at 100 TB: too
+        few buckets → giant merge tasks and useless lookup pruning; too many
+        → small files. ``rebucket`` reads the current rows (folding any
+        pending merge-on-read deltas), re-hashes every key under the new
+        count with the writer's own ``pmod(xxhash64(*keys), n)`` expression,
+        and commits ONE new snapshot whose manifest carries the new count —
+        a full-table rewrite, the honest cost of re-hash-partitioning, run
+        as a single wide job sized by ``new_num_buckets``. Epoch guards are
+        untouched (maintenance, not an epoch), and because every reader
+        takes ``num_buckets`` from the manifest of the snapshot it reads,
+        time travel ACROSS the rebucket stays correct — old snapshots keep
+        pruning with the old count, new ones with the new.
+
+        Returns the number of buckets written under the new layout.
+        """
+        n = int(new_num_buckets)
+        if n < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {n}")
+        manifest = self.manifest()
+        if n == int(manifest["num_buckets"]):
+            return 0
+        keys = manifest["key_columns"]
+        new_version = int(manifest["version"]) + 1
+        df = self._read_buckets(manifest, None)
+        bmap: dict[str, int] = {}
+        if df is not None:
+            out_dir = os.path.join(self.root, "data", f"v{new_version}")
+            (
+                df.drop(BUCKET_COL)
+                .withColumn(
+                    BUCKET_COL,
+                    F.pmod(
+                        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)
+                    ).cast("int"),
+                )
+                .repartition(n, F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            bmap = {
+                name.split("=", 1)[1]: new_version
+                for name in os.listdir(out_dir)
+                if name.startswith(f"{BUCKET_COL}=")
+            }
+        self._write_manifest(
+            {
+                **manifest,
+                "version": new_version,
+                "num_buckets": n,
+                "buckets": bmap,
+                "deltas": {},  # folded into the rewrite by _read_buckets
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "rebucketed_to": n,
+                },
+            }
+        )
+        return len(bmap)
 
     # ------------------------------------------------------------------
     # retention

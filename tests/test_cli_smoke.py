@@ -144,3 +144,48 @@ def test_cli_pipelined_batch_replay(spark, tmp_path):
     )
     want = {(r["value"]["repo"], r["value"]["path"]) for r in win.collect()}
     assert got == want and summary["final_rows"] == len(want)
+
+
+@pytest.mark.slow
+def test_cli_lookup_and_rebucket(spark, tmp_path):
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+
+    log_dir = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    ckpt_dir = str(tmp_path / "ckpt")
+    changelog(spark, 3000, num_repos=8, paths_per_repo=30).write.parquet(log_dir)
+    _run_cli(
+        "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+        "--create", "--available-now", "--buckets", "16",
+        "--master", "local[4]", "--shuffle-partitions", "8",
+    )
+
+    probe = LakeTable.load(spark, table_dir).read().first()
+    key = {"repo": probe["repo"], "path": probe["path"]}
+
+    # point lookup from a fresh driver process
+    row = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+            "--lookup", json.dumps(key), "--master", "local[4]",
+        )
+    )
+    assert (row["repo"], row["path"]) == (probe["repo"], probe["path"])
+    assert row["commit"] == probe["commit"]
+
+    # rebucket 16 -> 4 in another process, then the same lookup still works
+    maint = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+            "--rebucket", "4", "--master", "local[4]",
+        )
+    )
+    assert 0 < maint["rebucketed_buckets"] <= 4
+    row2 = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+            "--lookup", json.dumps(key), "--master", "local[4]",
+        )
+    )
+    assert row2 == row
