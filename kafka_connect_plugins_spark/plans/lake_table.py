@@ -338,13 +338,24 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return df.select(*[f_.name for f_ in schema.fields])
 
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimages: bool = False,
+    ) -> DataFrame:
         """Change data feed between two snapshots (Delta CDF / Iceberg
         changelog-scan analogue): what a downstream incremental consumer must
         apply to move from ``from_version`` to ``to_version``.
 
         Output = table columns + ``_change_type`` in {``insert``,
-        ``update_postimage``, ``delete``} + ``_commit_version``. Only buckets
+        ``update_postimage``, ``delete``} + ``_commit_version``. With
+        ``include_preimages=True`` every update additionally emits an
+        ``update_preimage`` row carrying the OLD column values (Delta CDF
+        parity) — the shape a downstream incremental aggregator needs to
+        fold updates as ``+post - pre`` (see ``plans/incremental_view.py``).
+        Preimages cost nothing extra to read: the diff join already has both
+        sides; the update branch just explodes to two rows. Only buckets
         whose data version differs between the two manifests are read
         (bucket-level pruning — the diff costs I/O proportional to what
         changed, not table size); within a rewritten bucket, carried-forward
@@ -426,18 +437,25 @@ class LakeTable:
             F.col(f"n_{TOMBSTONE_COL}"), F.lit(False)
         )
         same = F.col(f"o_{LSN_COL}").eqNullSafe(F.col(f"n_{LSN_COL}"))
-        change = (
-            F.when(~o_live & n_live, F.lit("insert"))
-            .when(o_live & n_live & ~same, F.lit("update_postimage"))
-            .when(o_live & ~n_live, F.lit("delete"))
+        update_types = (
+            F.array(F.lit("update_preimage"), F.lit("update_postimage"))
+            if include_preimages
+            else F.array(F.lit("update_postimage"))
         )
+        change = (
+            F.when(~o_live & n_live, F.array(F.lit("insert")))
+            .when(o_live & n_live & ~same, update_types)
+            .when(o_live & ~n_live, F.array(F.lit("delete")))
+        )
+        old_side = F.col("_change_type").isin("delete", "update_preimage")
         return (
-            joined.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
+            joined.withColumn("_change_types", change)
+            .filter(F.col("_change_types").isNotNull())
+            .select("*", F.explode("_change_types").alias("_change_type"))
             .select(
                 *[F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys],
                 *[
-                    F.when(F.col("_change_type") == "delete", F.col(f"o_{c}"))
+                    F.when(old_side, F.col(f"o_{c}"))
                     .otherwise(F.col(f"n_{c}"))
                     .alias(c)
                     for c in out_fields
