@@ -72,6 +72,7 @@ class MergeStats:
     # is exactly the delta rows appended).
     rows_written: int = 0
     schema_added_columns: list[str] = field(default_factory=list)
+    schema_widened_columns: list[str] = field(default_factory=list)
     seconds: float = 0.0
     # Per-source-partition lineage: {partition: {"events": n, "max_lsn": m}}.
     # The CDC log-position record — filled when merge() gets lineage_col.
@@ -231,6 +232,10 @@ class LakeTable:
             for f_ in schema.fields:
                 if f_.name not in df.columns:
                     df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+                elif df.schema[f_.name].dataType != f_.dataType:
+                    # files written before a type widening surface their
+                    # narrow physical type; readers always see the manifest's
+                    df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
         if deltas:
             # Collapse ONLY the delta-bearing buckets; delta-free buckets in
             # the same read stay on the scan-only path (no shuffle for them).
@@ -474,29 +479,66 @@ class LakeTable:
     # ------------------------------------------------------------------
     def _evolve_schema(
         self, manifest: dict, incoming: T.StructType
-    ) -> tuple[dict | None, list[str]]:
-        """Union-by-field-presence widening; returns (new schema json, added)."""
+    ) -> tuple[dict | None, list[str], list[str]]:
+        """Union-by-field-presence evolution.
+
+        Returns ``(new schema json | None, added, widened)``. Beyond
+        Avro-style add-only fields, Iceberg's lossless type promotions are
+        supported in both directions (``int -> long``, ``float -> double``):
+
+        - incoming NARROWER than the table: accepted with no schema change —
+          union coercion and the manifest-schema cast in ``_read_buckets``
+          widen the new file's values on read;
+        - incoming WIDER than the table: the table schema is widened in the
+          same manifest swap as the data commit. No existing file is
+          rewritten: the parquet reader up-casts old narrow pages under the
+          widened read schema (verified on Spark 4), and ``_read_buckets``
+          casts to the manifest schema so readers always see one type.
+
+        Anything else (string -> int, long -> int, …) raises
+        :class:`SchemaEvolutionError` — silently coercing would lose data.
+        """
+        widen_ok = {("integer", "long"), ("float", "double")}
         current = self._table_schema(manifest)
         if current is None:
-            return json.loads(incoming.json()), [f_.name for f_ in incoming.fields]
+            return (
+                json.loads(incoming.json()),
+                [f_.name for f_ in incoming.fields],
+                [],
+            )
         by_name = {f_.name: f_ for f_ in current.fields}
         added: list[str] = []
+        widened: list[str] = []
         fields = list(current.fields)
         for f_ in incoming.fields:
             if f_.name in by_name:
-                if by_name[f_.name].dataType != f_.dataType:
-                    raise SchemaEvolutionError(
-                        f"column {f_.name!r}: table has "
-                        f"{by_name[f_.name].dataType.simpleString()}, incoming batch has "
-                        f"{f_.dataType.simpleString()} — only additive evolution is supported"
-                    )
+                have = by_name[f_.name].dataType
+                got = f_.dataType
+                if have == got:
+                    continue
+                if (got.typeName(), have.typeName()) in widen_ok:
+                    continue  # incoming narrower: widen on read
+                if (have.typeName(), got.typeName()) in widen_ok:
+                    fields = [
+                        T.StructField(x.name, got, x.nullable, x.metadata)
+                        if x.name == f_.name
+                        else x
+                        for x in fields
+                    ]
+                    widened.append(f_.name)
+                    continue
+                raise SchemaEvolutionError(
+                    f"column {f_.name!r}: table has {have.simpleString()}, "
+                    f"incoming batch has {got.simpleString()} — only additive "
+                    f"fields and int->long / float->double promotion are supported"
+                )
             else:
                 # New fields arrive nullable — Avro-style add-only widening.
                 fields.append(T.StructField(f_.name, f_.dataType, True, f_.metadata))
                 added.append(f_.name)
-        if not added:
-            return None, []
-        return json.loads(T.StructType(fields).json()), added
+        if not added and not widened:
+            return None, [], []
+        return json.loads(T.StructType(fields).json()), added, widened
 
     def _max_files_per_dirty_bucket(self, manifest: dict, dirty: list[int]) -> int:
         """Largest parquet-file count among the dirty buckets' current dirs.
@@ -863,7 +905,7 @@ class LakeTable:
         src_rows = prep.src_rows
         plan_b = prep.plan_b
         user_fields = prep.user_fields
-        new_schema_json, added = self._evolve_schema(manifest, prep.incoming)
+        new_schema_json, added, widened = self._evolve_schema(manifest, prep.incoming)
         phases = {"stats": prep.stats_seconds}
         try:
             dirty = sorted(int(r[BUCKET_COL]) for r in bucket_counts)
@@ -929,6 +971,7 @@ class LakeTable:
                     dirty_buckets=len(dirty),
                     total_buckets=len(manifest["buckets"]),
                     schema_added_columns=added,
+                    schema_widened_columns=widened,
                     seconds=time.time() - t0,
                     lineage=lineage,
                     phases=phases,
@@ -1117,6 +1160,7 @@ class LakeTable:
             total_buckets=len(buckets),
             rows_written=prep.n_winner_keys,
             schema_added_columns=added,
+            schema_widened_columns=widened,
             seconds=time.time() - t0,
             lineage=lineage,
             phases=phases,
