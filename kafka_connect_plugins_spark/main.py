@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintenance: re-hash the table to N key buckets in "
                         "one atomic snapshot (full rewrite; time travel "
                         "across it stays correct), then exit")
+    p.add_argument("--view", default=None, metavar="JSON",
+                   help='maintained aggregate view spec, e.g. \'{"dir": '
+                        '"/data/view", "group": ["repo"], "measures": '
+                        '{"bytes": "length(content)"}}\' — with an ingest '
+                        "run the view refreshes after every epoch (cost "
+                        "proportional to the change feed); with "
+                        "--refresh-view it refreshes once and exits")
+    p.add_argument("--refresh-view", action="store_true",
+                   help="maintenance: advance the --view to the table's "
+                        "current version, print the refresh metadata, exit")
     p.add_argument("--lookup", default=None, metavar="JSON",
                    help='point read: JSON key dict (or list of dicts), e.g. '
                         '\'{"repo": "r1", "path": "a.py"}\' — scans ONLY the '
@@ -131,9 +141,20 @@ def main(argv: list[str] | None = None) -> int:
         args.events, args.table, args.checkpoint = f"{tmp}/log", f"{tmp}/table", f"{tmp}/ckpt"
         args.available_now, args.create = True, True
     else:
+        maintenance_only = (
+            args.lookup
+            or args.refresh_view
+            or args.compact
+            or args.rebucket is not None
+            or args.expire_keep is not None
+            or args.purge_below_watermark
+        )
         if args.pipelined:
             if not (args.events and args.table):
                 p.error("--pipelined requires --events and --table")
+        elif maintenance_only:
+            if not args.table:
+                p.error("maintenance commands require --table")
         elif not (args.events and args.table and args.checkpoint):
             p.error("--events, --table and --checkpoint are required (or --demo)")
         spark = build_session(
@@ -152,6 +173,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.lookup:
         for row in table.lookup(json.loads(args.lookup)).toJSON().collect():
             print(row)
+        return 0
+
+    view = None
+    if args.view:
+        from pyspark.sql import functions as F
+
+        from kafka_connect_plugins_spark.plans.incremental_view import IncrementalAggView
+        from kafka_connect_plugins_spark.streaming.view_refresh import MaterializedView
+
+        spec = json.loads(args.view)
+        view = MaterializedView(
+            IncrementalAggView(
+                table,
+                spec["group"],
+                {name: F.expr(sql) for name, sql in spec["measures"].items()},
+            ),
+            spec["dir"],
+        )
+    if args.refresh_view:
+        if view is None:
+            p.error("--refresh-view requires --view")
+        print(json.dumps(view.refresh()))
         return 0
 
     if (
@@ -203,7 +246,8 @@ def main(argv: list[str] | None = None) -> int:
 
     metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
     ingest = StreamingIngest(
-        table, stream_id=args.stream_id, metrics=metrics, merge_mode=args.merge_mode
+        table, stream_id=args.stream_id, metrics=metrics, merge_mode=args.merge_mode,
+        views=[view] if view is not None else None,
     )
 
     if args.available_now:

@@ -79,11 +79,18 @@ class StreamingIngest:
         metrics: MetricsLog | None = None,
         dlq_dir: str | None = None,
         merge_mode: str = "rewrite",
+        views: list | None = None,
     ):
         self.table = table
         self.pipeline = pipeline
         self.stream_id = stream_id
         self.metrics = metrics
+        # MaterializedViews advanced after every committed epoch (each
+        # refresh reads only the change feed of the epoch it folds in).
+        # Refresh happens OUTSIDE the manifest swap: a crash between commit
+        # and refresh is healed by the next refresh (it advances from the
+        # table version it last recorded, not from the epoch).
+        self.views = list(views or [])
         # Connect's errors.deadletterqueue.topic.name analogue: when set (and
         # a pipeline is present), rows a stage would fail on are appended
         # here as parquet (partitioned by epoch) instead of failing the
@@ -132,6 +139,8 @@ class StreamingIngest:
         self.epoch_stats.append(stats)
         if self.metrics is not None:
             self.metrics.record(self.stream_id, stats)
+        for view in self.views:
+            view.refresh()
 
     def start(
         self,

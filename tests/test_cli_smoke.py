@@ -189,3 +189,55 @@ def test_cli_lookup_and_rebucket(spark, tmp_path):
         )
     )
     assert row2 == row
+
+
+@pytest.mark.slow
+def test_cli_view_refresh(spark, tmp_path):
+    """--view attaches a maintained aggregate to an ingest run; --refresh-view
+    is the standalone maintenance form (no --events/--checkpoint needed)."""
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+
+    log_dir = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    view_dir = str(tmp_path / "view")
+    changelog(spark, 3000, num_repos=6, paths_per_repo=30).write.parquet(log_dir)
+    spec = json.dumps(
+        {"dir": view_dir, "group": ["repo"], "measures": {"bytes": "length(content)"}}
+    )
+
+    summary = json.loads(
+        _run_cli(
+            "--events", log_dir, "--table", table_dir,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--create", "--available-now", "--view", spec,
+            "--master", "local[4]", "--shuffle-partitions", "4",
+        )
+    )
+    assert summary["events"] == 3000
+
+    # the view tracked the final table version during ingest
+    meta = json.loads(open(os.path.join(view_dir, "_CURRENT")).read())
+    table = LakeTable.load(spark, table_dir)
+    assert meta["table_version"] == table.manifest()["version"]
+    got = {
+        r.repo: r.bytes
+        for r in spark.read.parquet(os.path.join(view_dir, meta["dir"])).collect()
+    }
+    want = {
+        r.repo: r.bytes
+        for r in table.read()
+        .groupBy("repo")
+        .agg(F.sum(F.length("content")).alias("bytes"))
+        .collect()
+    }
+    assert got == want
+
+    # standalone refresh in a fresh process is a no-op at the same version
+    meta2 = json.loads(
+        _run_cli(
+            "--table", table_dir, "--view", spec, "--refresh-view",
+            "--master", "local[4]",
+        )
+    )
+    assert meta2 == meta

@@ -118,3 +118,37 @@ def test_materialized_view_read_before_refresh_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="never refreshed"):
         v.read()
+
+
+def test_streaming_ingest_maintains_view_live(spark, tmp_path):
+    """A MaterializedView attached to StreamingIngest tracks every epoch."""
+    from kafka_connect_plugins_spark.engine import create_repo_table
+    from kafka_connect_plugins_spark.plans.incremental_view import IncrementalAggView
+    from kafka_connect_plugins_spark.sources.changelog import changelog, expected_final_state
+    from kafka_connect_plugins_spark.streaming import StreamingIngest
+    from kafka_connect_plugins_spark.streaming.view_refresh import MaterializedView
+
+    events = changelog(spark, 2000, num_repos=6, paths_per_repo=20)
+    log_dir = str(tmp_path / "log")
+    events.repartitionByRange(4, "offset").write.parquet(log_dir)
+
+    table = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    view = MaterializedView(
+        IncrementalAggView(table, ["repo"], {"bytes": F.length("content")}),
+        str(tmp_path / "view"),
+    )
+    ingest = StreamingIngest(table, stream_id="s1", views=[view])
+    stats = ingest.run_available(
+        spark, log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1, timeout_sec=120
+    )
+    assert len(stats) >= 3  # several epochs, each refreshed the view
+    assert view.table_version() == table.manifest()["version"]
+    got = {r.repo: (r.bytes, r.n_rows) for r in view.read().collect()}
+    want = {
+        r.repo: (r.bytes, r.n_rows)
+        for r in expected_final_state(events)
+        .groupBy("repo")
+        .agg(F.sum(F.length("content")).alias("bytes"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
