@@ -1352,10 +1352,24 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
             if in_hist and ln.startswith("## "):
                 in_hist = False
             if in_hist and ln.startswith("| 20"):
-                history.append(ln.rstrip("\n"))
+                row = ln.rstrip("\n")
+                # rows written before the small bracket got its own columns
+                # carry 7 cells; splice placeholder cells in after the stamp
+                if row.count("|") == 8:
+                    cells = row.split("|")
+                    row = "|".join(cells[:2] + [" — ", " — "] + cells[2:])
+                history.append(row)
+    if scaling_small:
+        small_cells = (
+            f"| {scaling_small['clean_windows']}/{len(scaling_small['windows'])} "
+            f"| {scaling_small['efficiency_median']}/{scaling_small['efficiency_best']} "
+        )
+    else:
+        small_cells = "| — | — "
     history.append(
         f"| {time.strftime('%Y-%m-%d %H:%M')} "
-        f"| {scaling_exec['clean_windows']}/{len(scaling_exec['windows'])} "
+        + small_cells
+        + f"| {scaling_exec['clean_windows']}/{len(scaling_exec['windows'])} "
         f"| {scaling_exec['efficiency_median']}/{scaling_exec['efficiency_best']} "
         f"| {scaling_thr['clean_windows']}/{len(scaling_thr['windows'])} "
         f"| {scaling_thr['efficiency_median']}/{scaling_thr['efficiency_best']} "
@@ -1368,10 +1382,12 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         "",
         "One line per full bench run on this host (clean = probe- AND",
         "steal-gated windows; medians/bests are over clean windows of that",
-        "run, falling back to all its windows when none were clean).",
+        "run, falling back to all its windows when none were clean;",
+        "small = the 4->16-core unsaturated bracket, the primary criterion",
+        "point).",
         "",
-        "| run (UTC) | exec clean | exec med/best eff | thr clean | thr med/best eff | thr eff/gather | replay 32c median ev/s |",
-        "| --- | --- | --- | --- | --- | --- | --- |",
+        "| run (UTC) | small clean | small med/best eff | exec clean | exec med/best eff | thr clean | thr med/best eff | thr eff/gather | replay 32c median ev/s |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
         *history,
     ]
     with open(md_path, "w") as f:
@@ -1442,6 +1458,18 @@ def main() -> None:
         if remaining() > gen_est + 240:
             events_path = generate_events(big_total)
 
+            # Wide-path isolation FIRST (cheap, ~2-3 min): it anchors the
+            # scaling story in BENCH.md and must not die to the window
+            # loop's deadline the way round 7's post-loop placement did.
+            if remaining() > 600:
+                scan_scaling = _guard(
+                    "scaling_scan", lambda: bench_scan_scaling(events_path, rounds=2)
+                )
+                OUT["scaling_scan"] = scan_scaling
+                flush_partial("scaling_scan")
+            else:
+                OUT["skipped_sections"].append("scaling_scan")
+
             # INTERLEAVE the modes window-by-window: host noise comes in
             # multi-minute phases, so all-of-one-mode-then-the-next gives
             # each mode ONE phase; alternating samples every mode across
@@ -1490,14 +1518,6 @@ def main() -> None:
             OUT["scaling_executors_small"] = runs["scaling_executors_small"].summary()
             OUT["scaling_headline"] = _scaling_headline(OUT)
             flush_partial()
-            if remaining() > 300:
-                scan_scaling = _guard(
-                    "scaling_scan", lambda: bench_scan_scaling(events_path)
-                )
-                OUT["scaling_scan"] = scan_scaling
-                flush_partial("scaling_scan")
-            else:
-                OUT["skipped_sections"].append("scaling_scan")
         else:
             OUT["skipped_sections"] += [
                 "scaling_executors_small", "scaling_executors",
