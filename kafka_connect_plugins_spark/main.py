@@ -123,6 +123,25 @@ def main(argv: list[str] | None = None) -> int:
                         '\'{"repo": "r1", "path": "a.py"}\' — scans ONLY the '
                         "buckets the keys hash to, prints rows as JSON lines, "
                         "then exits")
+    p.add_argument("--bootstrap", default=None, metavar="PARQUET",
+                   help="initial-snapshot load (Debezium snapshot-then-stream): "
+                        "merge the snapshot table as epoch 0 of --stream-id, "
+                        "then exit; follow up with a normal ingest run over "
+                        "events with lsn > --bootstrap-lsn")
+    p.add_argument("--bootstrap-lsn", type=int, default=0,
+                   help="log position the --bootstrap snapshot was taken at "
+                        "(stamped on rows lacking a _lsn column)")
+    p.add_argument("--branch", default=None, metavar="NAME",
+                   help="commit ingest/maintenance to this branch instead of "
+                        "main (write-audit-publish staging; create with "
+                        "--create-branch, promote with --publish)")
+    p.add_argument("--create-branch", default=None, metavar="NAME",
+                   help="fork a branch at the current main head, then exit")
+    p.add_argument("--tag", default=None, metavar="NAME",
+                   help="pin the current head as an immutable tag, then exit")
+    p.add_argument("--publish", default=None, metavar="NAME",
+                   help="fast-forward main to the branch head (the WAP "
+                        "publish step; refuses a diverged main), then exit")
     args = p.parse_args(argv)
 
     from kafka_connect_plugins_spark.engine import create_repo_table
@@ -148,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
             or args.rebucket is not None
             or args.expire_keep is not None
             or args.purge_below_watermark
+            or args.bootstrap
+            or args.create_branch
+            or args.tag
+            or args.publish
         )
         if args.pipelined:
             if not (args.events and args.table):
@@ -169,6 +192,36 @@ def main(argv: list[str] | None = None) -> int:
             table = create_repo_table(spark, args.table, num_buckets=args.buckets)
     else:
         table = LakeTable.load(spark, args.table)
+
+    if args.branch:
+        table = table.checkout(args.branch)
+
+    if args.create_branch or args.tag or args.publish:
+        out = {}
+        if args.create_branch:
+            branch = table.create_branch(args.create_branch)
+            out["created_branch"] = {
+                args.create_branch: branch._head_version(),
+            }
+        if args.tag:
+            out["created_tag"] = {args.tag: table.create_tag(args.tag)}
+        if args.publish:
+            out["published_version"] = table.publish(args.publish)
+        print(json.dumps(out))
+        return 0
+
+    if args.bootstrap:
+        snapshot = spark.read.parquet(args.bootstrap)
+        stats = table.bootstrap(
+            snapshot, snapshot_lsn=args.bootstrap_lsn, stream_id=args.stream_id
+        )
+        print(json.dumps({
+            "bootstrapped_rows": stats.rows_written,
+            "source_rows": stats.source_rows,
+            "snapshot_lsn": args.bootstrap_lsn,
+            "skipped": stats.skipped,
+        }))
+        return 0
 
     if args.lookup:
         for row in table.lookup(json.loads(args.lookup)).toJSON().collect():

@@ -122,9 +122,13 @@ class SchemaEvolutionError(TypeError):
 class LakeTable:
     """A bucketed, snapshot-versioned upsert table."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, ref: str = "main"):
         self.spark = spark
         self.root = root
+        # The branch this handle commits to. "main" is the published table
+        # (`_CURRENT`); any other name resolves through `_REFS.json` and is
+        # the write-audit-publish staging surface (Iceberg branch analogue).
+        self.ref = ref
 
     # ------------------------------------------------------------------
     # creation / manifest plumbing
@@ -163,21 +167,167 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> dict:
         if version is None:
-            with open(os.path.join(self.root, "_CURRENT")) as f:
-                version = int(f.read().strip())
+            version = self._head_version()
         with open(os.path.join(self.root, "manifests", f"v{version}.json")) as f:
             return json.load(f)
+
+    def _head_version(self, ref: str | None = None) -> int:
+        """Resolve a ref name (default: this handle's branch) to a version."""
+        ref = self.ref if ref is None else ref
+        if ref == "main":
+            with open(os.path.join(self.root, "_CURRENT")) as f:
+                return int(f.read().strip())
+        refs = self.refs()
+        if ref in refs["branches"]:
+            return int(refs["branches"][ref])
+        if ref in refs["tags"]:
+            return int(refs["tags"][ref])
+        raise KeyError(f"no branch or tag named {ref!r}")
+
+    def _next_version(self) -> int:
+        """Allocate the next snapshot version: 1 + the max manifest on disk.
+
+        Equals head+1 on a linear history; with branches it keeps every
+        manifest file and ``data/v{N}`` dir globally unique even when two
+        branches commit interleaved. Single-writer-per-branch is assumed
+        (the same contract `_CURRENT` already carries).
+        """
+        mdir = os.path.join(self.root, "manifests")
+        return 1 + max(
+            int(name[1:-5])
+            for name in os.listdir(mdir)
+            if name.startswith("v") and name.endswith(".json")
+        )
 
     def _write_manifest(self, manifest: dict) -> None:
         version = manifest["version"]
         path = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(path, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
-        # Atomic pointer swap — the commit point (Iceberg's version-hint swap).
+        # Atomic pointer swap — the commit point (Iceberg's version-hint
+        # swap). A non-main handle advances its branch ref instead of the
+        # published pointer: staged commits are invisible to main readers.
+        if self.ref == "main":
+            tmp = os.path.join(self.root, f"_CURRENT.tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(self.root, "_CURRENT"))
+        else:
+            refs = self.refs()
+            if self.ref not in refs["branches"]:
+                raise KeyError(
+                    f"branch {self.ref!r} does not exist (create_branch first)"
+                )
+            refs["branches"][self.ref] = int(version)
+            self._write_refs(refs)
+
+    # ------------------------------------------------------------------
+    # refs: tags, branches, write-audit-publish
+    # ------------------------------------------------------------------
+    def refs(self) -> dict:
+        """``{"branches": {name: version}, "tags": {name: version}}``."""
+        path = os.path.join(self.root, "_REFS.json")
+        if not os.path.exists(path):
+            return {"branches": {}, "tags": {}}
+        with open(path) as f:
+            return json.load(f)
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = os.path.join(self.root, f"_REFS.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.root, "_REFS.json"))
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named snapshot pointer (Iceberg tag analogue)."""
+        refs = self.refs()
+        if name in refs["tags"] or name in refs["branches"] or name == "main":
+            raise ValueError(f"ref {name!r} already exists")
+        version = self._head_version() if version is None else int(version)
+        self.manifest(version)  # existence check
+        refs["tags"][name] = version
+        self._write_refs(refs)
+        return version
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Fork a mutable branch at ``version`` (default: this head) and
+        return a handle bound to it.
+
+        The branch carries the fork point's full manifest state — schema,
+        bucket map AND epoch guards — so staged ingest keeps exactly-once
+        semantics, and :meth:`publish` fast-forwards all of it onto main
+        atomically. This is the write-audit-publish pattern: ingest to a
+        branch, audit the staged snapshot, publish (or drop) it.
+        """
+        refs = self.refs()
+        if name in refs["tags"] or name in refs["branches"] or name == "main":
+            raise ValueError(f"ref {name!r} already exists")
+        version = self._head_version() if version is None else int(version)
+        self.manifest(version)  # existence check
+        refs["branches"][name] = version
+        self._write_refs(refs)
+        return LakeTable(self.spark, self.root, ref=name)
+
+    def checkout(self, ref: str = "main") -> "LakeTable":
+        """A handle bound to an existing branch (or back to main)."""
+        if ref != "main":
+            refs = self.refs()
+            if ref not in refs["branches"]:
+                raise KeyError(f"no branch named {ref!r}")
+        return LakeTable(self.spark, self.root, ref=ref)
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        if name in refs["branches"]:
+            del refs["branches"][name]
+        elif name in refs["tags"]:
+            del refs["tags"][name]
+        else:
+            raise KeyError(f"no branch or tag named {name!r}")
+        self._write_refs(refs)
+
+    def _ancestry(self, version: int) -> list[int]:
+        """Versions from ``version`` back to the root, following ``parent``
+        (manifests predating parent tracking fall back to version-1)."""
+        chain = []
+        v: int | None = version
+        while v is not None and v >= 0:
+            chain.append(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired tail — ancestry ends at the retention horizon
+            v = m.get("parent", v - 1 if v > 0 else None)
+        return chain
+
+    def publish(self, branch: str, drop: bool = True) -> int:
+        """Fast-forward main to a branch head (the WAP publish step).
+
+        Requires main's current version to be an ancestor of the branch head
+        — i.e. nothing was committed to main since the fork. A diverged
+        main raises instead of silently dropping its commits (no rebase
+        machinery; re-fork and re-stage instead). Returns the published
+        version. Atomic: one `_CURRENT` swap.
+        """
+        refs = self.refs()
+        if branch not in refs["branches"]:
+            raise KeyError(f"no branch named {branch!r}")
+        head = int(refs["branches"][branch])
+        main_v = self._head_version("main")
+        if main_v not in self._ancestry(head):
+            raise ValueError(
+                f"main (v{main_v}) diverged from branch {branch!r} fork "
+                f"point; refusing to fast-forward to v{head}"
+            )
         tmp = os.path.join(self.root, f"_CURRENT.tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            f.write(str(version))
+            f.write(str(head))
         os.replace(tmp, os.path.join(self.root, "_CURRENT"))
+        if drop:
+            refs = self.refs()
+            refs["branches"].pop(branch, None)
+            self._write_refs(refs)
+        return head
 
     # ------------------------------------------------------------------
     # reads
@@ -252,15 +402,20 @@ class LakeTable:
             df = clean.unionByName(collapsed.select(*clean.columns))
         return df
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, ref: str | None = None) -> DataFrame:
         """Snapshot read (table-schema columns: keys, payload, ``_lsn``).
 
         ``version`` time-travels to an earlier snapshot (Iceberg
-        ``VERSION AS OF``); default is the current one. Delete markers
-        (retained so that a late-arriving lower-LSN insert can never
-        resurrect a deleted key — see :meth:`merge`) are filtered here; they
-        are physically dropped by :meth:`purge_tombstones`.
+        ``VERSION AS OF``); ``ref`` reads a named tag or branch head
+        (``VERSION AS OF 'ref'``); default is this handle's branch head.
+        Delete markers (retained so that a late-arriving lower-LSN insert
+        can never resurrect a deleted key — see :meth:`merge`) are filtered
+        here; they are physically dropped by :meth:`purge_tombstones`.
         """
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass version= or ref=, not both")
+            version = self._head_version(ref)
         manifest = self.manifest(version)
         df = self._read_buckets(manifest, None)
         schema = self._table_schema(manifest)
@@ -925,7 +1080,7 @@ class LakeTable:
                 # Merge-on-read: append collapsed winners as delta files and
                 # commit; the target is never read, so epoch cost is O(batch).
                 collapsed = src_winners  # both plans pre-collapse to one row/key
-                new_version = int(manifest["version"]) + 1
+                new_version = self._next_version()
                 out_dir = os.path.join(self.root, "data", f"v{new_version}")
                 t_w = time.time()
                 (
@@ -950,6 +1105,7 @@ class LakeTable:
                     {
                         **manifest,
                         "version": new_version,
+                        "parent": int(manifest["version"]),
                         "deltas": delta_map,
                         "epochs": {**manifest["epochs"]}
                         if epoch_id is None
@@ -1098,7 +1254,7 @@ class LakeTable:
             # compacting path bounds output to one file per touched bucket;
             # the map-only path streams carried rows straight from their
             # bucket files into the new version.
-            new_version = int(manifest["version"]) + 1
+            new_version = self._next_version()
             out_dir = os.path.join(self.root, "data", f"v{new_version}")
             if compact:
                 live = live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
@@ -1138,6 +1294,7 @@ class LakeTable:
         new_manifest = {
             **manifest,
             "version": new_version,
+            "parent": int(manifest["version"]),
             "buckets": buckets,
             "deltas": delta_map,
             "epochs": {**manifest["epochs"]}
@@ -1166,6 +1323,44 @@ class LakeTable:
             phases=phases,
         )
 
+    def bootstrap(
+        self,
+        snapshot: DataFrame,
+        snapshot_lsn: int = 0,
+        stream_id: str = "default",
+        epoch_id: int = 0,
+    ) -> MergeStats:
+        """Initial-snapshot load: the Debezium snapshot-then-stream pattern.
+
+        A CDC pipeline against an existing source can't replay the log from
+        the beginning (it's been compacted away); it loads one consistent
+        snapshot of the source table, then tails the changelog from the
+        snapshot's log position. ``snapshot`` is that consistent read —
+        key + payload columns, optionally its own ``_lsn`` column (kept
+        per-row if present; else every row is stamped ``snapshot_lsn``, the
+        log position the snapshot was taken at). The load is epoch 0 of
+        ``stream_id``, so a crashed-and-restarted bootstrap is idempotent
+        under the same exactly-once guard as every other epoch, and the
+        subsequent tail (events with ``lsn > snapshot_lsn``) continues as
+        epochs 1.. — final state is identical to a full-log replay (see
+        ``tests/test_bootstrap.py``).
+
+        Requires an empty table: bootstrap is a beginning, not an upsert
+        (use :meth:`merge` to fold a snapshot into existing state).
+        """
+        manifest = self.manifest()
+        if manifest["buckets"] or manifest.get("deltas"):
+            raise ValueError(
+                "bootstrap requires an empty table; this one has data "
+                "(merge the snapshot instead)"
+            )
+        src = snapshot
+        if LSN_COL not in src.columns:
+            src = src.withColumn(LSN_COL, F.lit(int(snapshot_lsn)).cast("long"))
+        if TOMBSTONE_COL not in src.columns:
+            src = src.withColumn(TOMBSTONE_COL, F.lit(False))
+        return self.merge(src, epoch_id=epoch_id, stream_id=stream_id)
+
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
@@ -1187,7 +1382,7 @@ class LakeTable:
         if not todo:
             return 0
         folded = self._read_buckets(manifest, todo)
-        new_version = int(manifest["version"]) + 1
+        new_version = self._next_version()
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
         (
             folded.repartition(len(todo), F.col(BUCKET_COL))
@@ -1210,6 +1405,7 @@ class LakeTable:
             {
                 **manifest,
                 "version": new_version,
+                "parent": int(manifest["version"]),
                 "buckets": bmap,
                 "deltas": {
                     b: list(vs) for b, vs in pending.items() if int(b) not in set(todo)
@@ -1248,7 +1444,7 @@ class LakeTable:
         if n == int(manifest["num_buckets"]):
             return 0
         keys = manifest["key_columns"]
-        new_version = int(manifest["version"]) + 1
+        new_version = self._next_version()
         df = self._read_buckets(manifest, None)
         bmap: dict[str, int] = {}
         if df is not None:
@@ -1275,6 +1471,7 @@ class LakeTable:
             {
                 **manifest,
                 "version": new_version,
+                "parent": int(manifest["version"]),
                 "num_buckets": n,
                 "buckets": bmap,
                 "deltas": {},  # folded into the rewrite by _read_buckets
@@ -1303,14 +1500,22 @@ class LakeTable:
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        current = int(self.manifest()["version"])
+        current = self._head_version("main")
         manifest_dir = os.path.join(self.root, "manifests")
         versions = sorted(
             int(name[1:-5])
             for name in os.listdir(manifest_dir)
             if name.startswith("v") and name.endswith(".json")
         )
-        retained = [v for v in versions if v > current - keep_last]
+        # Retained = the newest keep_last snapshots along MAIN's ancestry
+        # (parent chain, so versions allocated to branches don't shrink
+        # main's time-travel window) + every tag and branch head: a staged
+        # write-audit-publish branch or a pinned tag must survive GC.
+        retained_set = set(self._ancestry(current)[:keep_last])
+        refs = self.refs()
+        for v in list(refs["branches"].values()) + list(refs["tags"].values()):
+            retained_set.add(int(v))
+        retained = sorted(v for v in versions if v in retained_set)
         live_data: set[int] = set()
         for v in retained:
             m = self.manifest(v)
@@ -1359,7 +1564,7 @@ class LakeTable:
         if not dirty:
             return 0
         keep = self._read_buckets(manifest, dirty).filter(~is_purgeable)
-        new_version = int(manifest["version"]) + 1
+        new_version = self._next_version()
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
         (
             keep.repartition(len(dirty), F.col(BUCKET_COL))
@@ -1382,6 +1587,7 @@ class LakeTable:
             {
                 **manifest,
                 "version": new_version,
+                "parent": int(manifest["version"]),
                 "buckets": buckets,
                 # rewritten buckets absorbed their pending deltas (the read
                 # above was delta-collapsed)

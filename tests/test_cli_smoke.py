@@ -241,3 +241,70 @@ def test_cli_view_refresh(spark, tmp_path):
         )
     )
     assert meta2 == meta
+
+
+@pytest.mark.slow
+def test_cli_bootstrap_branch_publish(spark, tmp_path):
+    """Snapshot bootstrap + write-audit-publish, each step its own driver
+    process: bootstrap main, stage the tail on a branch, audit it, publish."""
+    from kafka_connect_plugins_spark.engine import create_repo_table, replay
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+
+    events = changelog(spark, 3000, num_repos=8, paths_per_repo=30)
+    split = 1800
+    # materialize a consistent snapshot at `split` + the tail event log
+    snap_src = create_repo_table(spark, str(tmp_path / "snapsrc"), num_buckets=8)
+    replay(snap_src, events.filter(F.col("offset") <= split))
+    snap_dir = str(tmp_path / "snapshot")
+    snap_src.read().write.parquet(snap_dir)
+    tail_dir = str(tmp_path / "tail")
+    events.filter(F.col("offset") > split).write.parquet(tail_dir)
+    table_dir = str(tmp_path / "table")
+
+    # 1) bootstrap an empty table from the snapshot
+    create_repo_table(spark, table_dir, num_buckets=8)
+    boot = json.loads(
+        _run_cli(
+            "--table", table_dir, "--bootstrap", snap_dir,
+            "--bootstrap-lsn", str(split),
+            "--master", "local[4]", "--shuffle-partitions", "8",
+        )
+    )
+    assert boot["source_rows"] > 0 and not boot["skipped"]
+
+    # 2) fork a staging branch, ingest the tail INTO THE BRANCH
+    json.loads(_run_cli("--table", table_dir, "--create-branch", "audit",
+                        "--master", "local[4]"))
+    json.loads(
+        _run_cli(
+            "--events", tail_dir, "--table", table_dir, "--branch", "audit",
+            "--pipelined", "--pipelined-epochs", "2",
+            "--master", "local[4]", "--shuffle-partitions", "8",
+        )
+    )
+
+    # 3) audit: main is still the bare snapshot; the branch has the tail
+    table = LakeTable.load(spark, table_dir)
+    main_rows = table.read().count()
+    branch_rows = table.read(ref="audit").count()
+    assert branch_rows != main_rows or (
+        table._head_version("audit") > table._head_version("main")
+    )
+
+    # 4) publish, then verify final state == an independent full replay
+    pub = json.loads(_run_cli("--table", table_dir, "--publish", "audit",
+                              "--master", "local[4]"))
+    assert pub["published_version"] == LakeTable.load(
+        spark, table_dir
+    ).manifest()["version"]
+    oracle = create_repo_table(spark, str(tmp_path / "oracle"), num_buckets=8)
+    replay(oracle, events)
+    want = {
+        (r["repo"], r["path"]): r["content"] for r in oracle.read().collect()
+    }
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in LakeTable.load(spark, table_dir).read().collect()
+    }
+    assert got == want
