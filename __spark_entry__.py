@@ -57,6 +57,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# session-scoped cache of the on-disk LakeTable built by q_cdc_pruned_tail
+# (replaying events into a real bucketed table is the expensive half; the
+# pruned read under test is cheap). Keyed like _LSH_PAIRS_CACHE.
+_PRUNED_TABLE_CACHE: dict[tuple[str, str], tuple[str, int]] = {}
+
+
+def _pruned_tail_table(spark: SparkSession, sf_dir: str):
+    """Replay the events log into a LakeTable in two LSN eras and return
+    ``(table, watermark)`` where watermark = max(event_id) // 2."""
+    import tempfile
+
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PRUNED_TABLE_CACHE.get(key)
+    if cached is None:
+        env = _events_envelope(spark, sf_dir)
+        transformed = SoftDeleteToTombstone({"field": "deleted_at"}).apply(env)
+        src = transformed.select(
+            F.col("key").alias("user_id"),
+            F.col("offset").alias("_lsn"),
+            F.coalesce(F.col("value").isNull(), F.lit(False)).alias("_tombstone"),
+            F.col("value.event_type").alias("event_type"),
+            F.col("value.value").alias("value"),
+            F.col("value.props").alias("props"),
+        )
+        w = src.agg(F.floor(F.max("_lsn") / 2).cast("long")).collect()[0][0]
+        root = tempfile.mkdtemp(prefix="kcp_pruned_tail_")
+        table = LakeTable.create(spark, root, key_columns=["user_id"], num_buckets=16)
+        # two epochs → two data versions: the first era's untouched buckets
+        # keep low max-_lsn file stats, which is what the pruned read skips
+        table.merge(src.filter(F.col("_lsn") <= w), epoch_id=0)
+        table.merge(src.filter(F.col("_lsn") > w), epoch_id=1)
+        _PRUNED_TABLE_CACHE[key] = (root, int(w))
+        return table, int(w)
+    root, w = cached
+    return LakeTable.load(spark, root), w
+
+
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     pairs = _LSH_PAIRS_CACHE.get(key)
@@ -788,6 +827,27 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_pruned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read over a REAL on-disk LakeTable.
+
+    The events log is replayed into a bucketed lake table in two LSN eras,
+    then the "incremental consumer" question — final state of every key
+    whose winning LSN is in the newest half of the log — is answered with
+    ``read(prune={"_lsn": (W, None)})``: manifest file stats skip buckets
+    whose live files are provably below the watermark before the scan
+    lists them (tests/test_file_stats.py proves the skip; this gate proves
+    the answer matches SQL row for row)."""
+    table, w = _pruned_tail_table(spark, sf_dir)
+    tail = table.read(prune={"_lsn": (w, None)})
+    return tail.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("_lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over a CDC snapshot pair.
 
@@ -1312,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_to_hex": q_json_to_hex,
         "lww_dedup": q_lww_dedup,
         "cdc_final_state": q_cdc_final_state,
+        "cdc_pruned_tail": q_cdc_pruned_tail,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1550,6 +1611,19 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_pruned_tail": """
+            SELECT user_id,
+                   event_id AS last_lsn,
+                   event_type AS last_event_type,
+                   value AS last_value,
+                   props AS last_props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+              AND event_id >= (SELECT CAST(FLOOR(max(event_id) / 2) AS BIGINT)
+                               FROM events)
         """,
         "cdc_incremental_agg": """
             -- the oracle recomputes the maintained view from the FINAL

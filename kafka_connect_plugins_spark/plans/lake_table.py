@@ -337,7 +337,154 @@ class LakeTable:
             return None
         return T.StructType.fromJson(manifest["schema"])
 
-    def _read_buckets(self, manifest: dict, buckets: list[int] | None) -> DataFrame | None:
+    # ------------------------------------------------------------------
+    # file-level column statistics (manifest data skipping)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _footer_stats(out_dir: str) -> dict:
+        """Per-bucket column ``[min, max]`` bounds for a freshly written
+        ``data/v{N}`` dir, read from parquet FOOTERS only — no data pages
+        are touched, so stats collection costs O(files) metadata reads, not
+        a second scan (Iceberg collects the same bounds from the writers;
+        at cluster scale this loop becomes a tiny Spark job over paths).
+
+        Only top-level int/float/str/bool columns are kept (the types whose
+        bounds round-trip JSON exactly); a column missing min/max in any
+        row group is dropped for that bucket — absent stats always mean
+        "may match", never "matches nothing". Parquet truncates long binary
+        bounds but keeps them valid (min' <= min, max' >= max), so pruning
+        on string bounds stays conservative. Each bucket also records its
+        row count under ``__rows``.
+        """
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        if not os.path.isdir(out_dir):
+            return out
+        for name in sorted(os.listdir(out_dir)):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            bdir = os.path.join(out_dir, name)
+            agg: dict[str, list | None] = {}
+            rows = 0
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
+                rows += md.num_rows
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        col = rg.column(c_i)
+                        path = col.path_in_schema
+                        if "." in path:  # nested leaf — not prunable here
+                            continue
+                        st = col.statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not isinstance(st.min, (int, float, str, bool))
+                            or isinstance(st.min, bool) != isinstance(st.max, bool)
+                        ):
+                            agg[path] = None  # poisoned: unknown for bucket
+                            continue
+                        cur = agg.get(path, ...)
+                        if cur is None:
+                            continue
+                        if cur is ...:
+                            agg[path] = [st.min, st.max]
+                        else:
+                            cur[0] = min(cur[0], st.min)
+                            cur[1] = max(cur[1], st.max)
+            stats = {c: v for c, v in agg.items() if v is not None}
+            stats["__rows"] = rows
+            out[name.split("=", 1)[1]] = stats
+        return out
+
+    def _with_file_stats(self, new_manifest: dict, out_dir: str) -> dict:
+        """Attach ``file_stats`` to a manifest about to be committed.
+
+        ``file_stats`` maps ``"v{version}/{bucket}"`` → column bounds for
+        that physical file set (Iceberg's per-data-file stats, at this
+        table's bucket granularity). Entries are carried forward from the
+        previous manifest for files still referenced, new entries are
+        collected from ``out_dir``'s footers, and entries for files this
+        snapshot no longer references are dropped — the map stays O(live
+        files), never O(history).
+        """
+        new_version = int(new_manifest["version"])
+        fresh = self._footer_stats(out_dir)
+        carried = dict(new_manifest.get("file_stats", {}))
+        for b, st in fresh.items():
+            carried[f"v{new_version}/{b}"] = st
+        live = {
+            f"v{int(v)}/{b}" for b, v in new_manifest.get("buckets", {}).items()
+        } | {
+            f"v{int(v)}/{b}"
+            for b, vs in new_manifest.get("deltas", {}).items()
+            for v in vs
+        }
+        return {
+            **new_manifest,
+            "file_stats": {k: v for k, v in carried.items() if k in live},
+        }
+
+    def file_stats(self, version: int | None = None) -> dict:
+        """``{"v{N}/{bucket}": {col: [min, max], "__rows": n}}`` for the
+        snapshot's live files (empty for snapshots predating stats)."""
+        return self.manifest(version).get("file_stats", {})
+
+    @staticmethod
+    def _stats_may_match(stats: dict | None, prune: dict) -> bool:
+        """Conservative interval test: can a file with these bounds hold a
+        row matching every ``col: (lo, hi)`` bound? Missing stats (old
+        snapshot, poisoned column, type mismatch) always match."""
+        if not stats:
+            return True
+        for col, (lo, hi) in prune.items():
+            bounds = stats.get(col)
+            if bounds is None:
+                continue
+            try:
+                if lo is not None and bounds[1] < lo:
+                    return False
+                if hi is not None and bounds[0] > hi:
+                    return False
+            except TypeError:
+                continue  # caller's bound type ≠ stored type: don't prune
+        return True
+
+    def _prune_bucket_ids(self, manifest: dict, prune: dict) -> list[int]:
+        """Bucket ids whose live files might hold a matching row.
+
+        Pruning is decided per BUCKET, not per file: under merge-on-read a
+        key's winner may sit in a delta while the key also appears in the
+        base, so dropping individual files of a surviving bucket could
+        change LWW collapse. A bucket is skipped only when EVERY file of it
+        (base + pending deltas) is provably disjoint from the bounds —
+        which is exactly when no winner row can match.
+        """
+        fstats = manifest.get("file_stats", {})
+        deltas = manifest.get("deltas", {})
+        keep = []
+        for b in {*manifest["buckets"], *deltas}:
+            pairs = []
+            if b in manifest["buckets"]:
+                pairs.append((int(manifest["buckets"][b]), b))
+            pairs += [(int(v), b) for v in deltas.get(b, [])]
+            if any(
+                self._stats_may_match(fstats.get(f"v{v}/{b}"), prune)
+                for v, b in pairs
+            ):
+                keep.append(int(b))
+        return sorted(keep)
+
+    def _read_buckets(
+        self,
+        manifest: dict,
+        buckets: list[int] | None,
+        prune: dict | None = None,
+    ) -> DataFrame | None:
         """Read the current rows of the given buckets (None = all).
 
         Merge-on-read: buckets with pending delta files (``manifest["deltas"]``,
@@ -345,7 +492,17 @@ class LakeTable:
         LWW aggregation over base ∪ deltas, so every consumer — ``read``,
         the rewrite merge, ``read_changes``, ``purge_tombstones`` — keeps the
         one-row-per-key invariant. Delta-free reads stay scan-only.
+
+        ``prune`` is a ``{col: (lo, hi)}`` bounds map (either end ``None``
+        = unbounded): buckets whose file stats are disjoint from the bounds
+        are skipped entirely — manifest-level data skipping. Callers must
+        still apply the exact predicate to the surviving rows.
         """
+        if prune:
+            pruned = self._prune_bucket_ids(manifest, prune)
+            buckets = pruned if buckets is None else sorted(
+                set(buckets) & set(pruned)
+            )
         assignments = manifest["buckets"]
         deltas = manifest.get("deltas", {})
         if buckets is not None:
@@ -402,7 +559,12 @@ class LakeTable:
             df = clean.unionByName(collapsed.select(*clean.columns))
         return df
 
-    def read(self, version: int | None = None, ref: str | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        ref: str | None = None,
+        prune: dict | None = None,
+    ) -> DataFrame:
         """Snapshot read (table-schema columns: keys, payload, ``_lsn``).
 
         ``version`` time-travels to an earlier snapshot (Iceberg
@@ -411,13 +573,23 @@ class LakeTable:
         Delete markers (retained so that a late-arriving lower-LSN insert
         can never resurrect a deleted key — see :meth:`merge`) are filtered
         here; they are physically dropped by :meth:`purge_tombstones`.
+
+        ``prune`` is a ``{col: (lo, hi)}`` inclusive-bounds predicate
+        (either end ``None`` = open). It is applied twice, the Iceberg
+        scan-planning pattern: manifest file stats skip every bucket whose
+        live files are provably disjoint from the bounds (the scan never
+        lists or opens them), then the exact row filter runs over the
+        survivors — the result equals ``read().filter(...)`` row for row,
+        at the I/O cost of only the possibly-matching files. Rows with a
+        NULL in a pruned column are excluded, standard range-predicate
+        semantics.
         """
         if ref is not None:
             if version is not None:
                 raise ValueError("pass version= or ref=, not both")
             version = self._head_version(ref)
         manifest = self.manifest(version)
-        df = self._read_buckets(manifest, None)
+        df = self._read_buckets(manifest, None, prune=prune)
         schema = self._table_schema(manifest)
         if df is None:
             if schema is None:
@@ -425,6 +597,12 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         if TOMBSTONE_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        if prune:
+            for col, (lo, hi) in prune.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
         return df.select(*[f_.name for f_ in schema.fields])
 
     def read_internal(self) -> DataFrame | None:
@@ -1102,7 +1280,7 @@ class LakeTable:
                 for b in sorted(written):
                     delta_map.setdefault(str(b), []).append(new_version)
                 self._write_manifest(
-                    {
+                    self._with_file_stats({
                         **manifest,
                         "version": new_version,
                         "parent": int(manifest["version"]),
@@ -1117,7 +1295,7 @@ class LakeTable:
                             "dirty_buckets": len(dirty),
                             "mode": "defer",
                         },
-                    }
+                    }, out_dir)
                 )
                 phases["commit"] = round(time.time() - t_c, 3)
                 return MergeStats(
@@ -1307,7 +1485,7 @@ class LakeTable:
                 "dirty_buckets": len(dirty),
             },
         }
-        self._write_manifest(new_manifest)
+        self._write_manifest(self._with_file_stats(new_manifest, out_dir))
         phases["commit"] = round(time.time() - t_c, 3)
         return MergeStats(
             epoch_id=epoch_id,
@@ -1402,7 +1580,7 @@ class LakeTable:
             else:
                 bmap.pop(str(b), None)
         self._write_manifest(
-            {
+            self._with_file_stats({
                 **manifest,
                 "version": new_version,
                 "parent": int(manifest["version"]),
@@ -1414,7 +1592,7 @@ class LakeTable:
                     "committed_at_ms": int(time.time() * 1000),
                     "compacted_buckets": len(todo),
                 },
-            }
+            }, out_dir)
         )
         return len(todo)
 
@@ -1447,8 +1625,8 @@ class LakeTable:
         new_version = self._next_version()
         df = self._read_buckets(manifest, None)
         bmap: dict[str, int] = {}
+        out_dir = os.path.join(self.root, "data", f"v{new_version}")
         if df is not None:
-            out_dir = os.path.join(self.root, "data", f"v{new_version}")
             (
                 df.drop(BUCKET_COL)
                 .withColumn(
@@ -1468,7 +1646,7 @@ class LakeTable:
                 if name.startswith(f"{BUCKET_COL}=")
             }
         self._write_manifest(
-            {
+            self._with_file_stats({
                 **manifest,
                 "version": new_version,
                 "parent": int(manifest["version"]),
@@ -1479,7 +1657,7 @@ class LakeTable:
                     "committed_at_ms": int(time.time() * 1000),
                     "rebucketed_to": n,
                 },
-            }
+            }, out_dir)
         )
         return len(bmap)
 
@@ -1584,7 +1762,7 @@ class LakeTable:
             else:
                 buckets.pop(str(b), None)  # bucket held only purged markers
         self._write_manifest(
-            {
+            self._with_file_stats({
                 **manifest,
                 "version": new_version,
                 "parent": int(manifest["version"]),
@@ -1601,7 +1779,7 @@ class LakeTable:
                     "purged_below_lsn": below_lsn,
                     "rewritten_buckets": len(dirty),
                 },
-            }
+            }, out_dir)
         )
         return len(dirty)
 
