@@ -108,6 +108,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintenance: re-hash the table to N key buckets in "
                         "one atomic snapshot (full rewrite; time travel "
                         "across it stays correct), then exit")
+    p.add_argument("--delete-where", default=None, metavar="SQL_EXPR",
+                   help="maintenance: copy-on-write predicate DELETE (e.g. "
+                        "\"repo = 'acme/old'\"); rewrites only matching "
+                        "buckets, prints {rows_matched, buckets_rewritten}, "
+                        "then exits")
+    p.add_argument("--update-where", default=None, metavar="SQL_EXPR",
+                   help="maintenance: copy-on-write predicate UPDATE; "
+                        "requires --set, then exits")
+    p.add_argument("--set", default=None, metavar="JSON", dest="set_exprs",
+                   help='column → SQL expression map for --update-where, '
+                        'e.g. \'{"content": "\'[redacted]\'", "lang": "lang"}\'')
+    p.add_argument("--remove-orphans", action="store_true",
+                   help="maintenance: delete data dirs no manifest references "
+                        "(crashed writes, expired WAP branches), then exit")
+    p.add_argument("--orphan-grace-sec", type=float, default=86400.0,
+                   help="min age before an unreferenced data dir is removed "
+                        "(protects in-flight commits; default 1 day)")
     p.add_argument("--view", default=None, metavar="JSON",
                    help='maintained aggregate view spec, e.g. \'{"dir": '
                         '"/data/view", "group": ["repo"], "measures": '
@@ -167,6 +184,9 @@ def main(argv: list[str] | None = None) -> int:
             or args.rebucket is not None
             or args.expire_keep is not None
             or args.purge_below_watermark
+            or args.delete_where is not None
+            or args.update_where is not None
+            or args.remove_orphans
             or args.bootstrap
             or args.create_branch
             or args.tag
@@ -255,10 +275,24 @@ def main(argv: list[str] | None = None) -> int:
         or args.expire_keep is not None
         or args.purge_below_watermark
         or args.rebucket is not None
+        or args.delete_where is not None
+        or args.update_where is not None
+        or args.remove_orphans
     ):
+        from pyspark.sql import functions as F
+
         out = {}
         if args.compact:
             out["compacted_buckets"] = table.compact()
+        if args.delete_where is not None:
+            out["delete"] = table.delete_where(F.expr(args.delete_where))
+        if args.update_where is not None:
+            if not args.set_exprs:
+                p.error("--update-where requires --set")
+            sets = {c: F.expr(sql) for c, sql in json.loads(args.set_exprs).items()}
+            out["update"] = table.update_where(F.expr(args.update_where), sets)
+        if args.remove_orphans:
+            out["orphans"] = table.remove_orphans(grace_seconds=args.orphan_grace_sec)
         if args.rebucket is not None:
             out["rebucketed_buckets"] = table.rebucket(args.rebucket)
         if args.purge_below_watermark:

@@ -48,7 +48,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1809,6 +1809,189 @@ class LakeTable:
             "buckets_rewritten": self.purge_tombstones(below_lsn=below),
             "partitions": len(hw),
         }
+
+
+    def _rewrite_where(
+        self,
+        condition: Column,
+        assignments: dict[str, Column] | None,
+        prune: dict | None,
+        op: str,
+    ) -> dict:
+        """Shared copy-on-write skeleton for :meth:`delete_where` /
+        :meth:`update_where`: find the buckets holding live rows that match
+        ``condition`` (one narrow scan + a <= num_buckets-row aggregation),
+        rewrite ONLY those buckets, commit one new snapshot. Untouched
+        buckets keep referencing their existing files — the rewrite cost is
+        proportional to the matched data, not the table.
+        """
+        manifest = self.manifest()
+        current = self._read_buckets(manifest, None, prune=prune)
+        if current is None:
+            return {"op": op, "rows_matched": 0, "buckets_rewritten": 0}
+        live = condition
+        if TOMBSTONE_COL in current.columns:
+            # mutations address live rows only; delete markers are retention's
+            # business (purge_tombstones), never a predicate DELETE/UPDATE's
+            live = live & ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        hits = current.filter(live).groupBy(BUCKET_COL).count().collect()
+        if not hits:
+            return {"op": op, "rows_matched": 0, "buckets_rewritten": 0}
+        dirty = sorted(int(r[BUCKET_COL]) for r in hits)
+        matched = int(sum(r["count"] for r in hits))
+        df = self._read_buckets(manifest, dirty)
+        if assignments is None:
+            out = df.filter(~live)
+        else:
+            # cast the new value INSIDE the branch: when/otherwise unifies
+            # branch types first, and letting it coerce the OLD column toward
+            # the literal's type would corrupt (or fail) unmatched rows
+            out = df.select(*[
+                F.when(live, assignments[c].cast(df.schema[c].dataType))
+                .otherwise(F.col(c)).alias(c)
+                if c in assignments else F.col(c)
+                for c in df.columns
+            ])
+        new_version = self._next_version()
+        out_dir = os.path.join(self.root, "data", f"v{new_version}")
+        (
+            out.repartition(len(dirty), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(out_dir)
+            if name.startswith(f"{BUCKET_COL}=")
+        }
+        buckets = dict(manifest["buckets"])
+        for b in dirty:
+            if b in written:
+                buckets[str(b)] = new_version
+            else:
+                buckets.pop(str(b), None)  # a delete emptied the bucket
+        self._write_manifest(
+            self._with_file_stats({
+                **manifest,
+                "version": new_version,
+                "parent": int(manifest["version"]),
+                "buckets": buckets,
+                # rewritten buckets were read delta-collapsed: their pending
+                # merge-on-read deltas are folded into the new base files
+                "deltas": {
+                    b: list(vs)
+                    for b, vs in manifest.get("deltas", {}).items()
+                    if int(b) not in set(dirty)
+                },
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "op": op,
+                    "rows_matched": matched,
+                    "rewritten_buckets": len(dirty),
+                },
+            }, out_dir)
+        )
+        return {"op": op, "rows_matched": matched, "buckets_rewritten": len(dirty)}
+
+    def delete_where(self, condition: Column, prune: dict | None = None) -> dict:
+        """Predicate DELETE as one copy-on-write snapshot (Iceberg
+        ``DELETE FROM … WHERE`` analogue — the compliance-erasure path).
+
+        Only buckets that actually hold a matching live row are rewritten;
+        every other bucket's files are carried by reference, so a delete of
+        one user's rows from a 100 TB table costs a scan plus a rewrite of
+        the few buckets that key hashes into — pass ``prune`` (the
+        ``read(prune=…)`` bounds map, which must be implied by
+        ``condition``) and the scan itself skips every bucket whose file
+        stats are disjoint.
+
+        This is an out-of-band table mutation, not a CDC tombstone: no
+        delete marker is left behind, so if the upstream log later replays
+        an insert for a deleted key the key returns. Erasure pipelines must
+        redact the upstream subject too; prior snapshots still hold the rows
+        until :meth:`expire_snapshots` retires them.
+
+        Returns ``{"op", "rows_matched", "buckets_rewritten"}``; matching
+        nothing commits nothing.
+        """
+        return self._rewrite_where(condition, None, prune, "delete_where")
+
+    def update_where(
+        self,
+        condition: Column,
+        assignments: dict[str, Column],
+        prune: dict | None = None,
+    ) -> dict:
+        """Predicate UPDATE as one copy-on-write snapshot (Iceberg
+        ``UPDATE … SET … WHERE`` analogue).
+
+        ``assignments`` maps payload column name → new-value Column,
+        evaluated against the OLD row (standard UPDATE semantics) and cast
+        back to the column's table type so the snapshot schema never drifts.
+        Key columns and bookkeeping columns (``_lsn``, ``_bucket``,
+        ``_tombstone``) are not assignable — a key change is a
+        delete + insert through :meth:`merge`, and LWW ordering stays the
+        ingest's property. Bucket selection, stats pruning, and commit
+        mechanics are exactly :meth:`delete_where`'s.
+        """
+        keys = set(self.manifest().get("key_columns", []))
+        forbidden = keys | {LSN_COL, BUCKET_COL, TOMBSTONE_COL}
+        bad = sorted(set(assignments) & forbidden)
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign key/bookkeeping columns: {bad}"
+            )
+        schema = self._table_schema(self.manifest())
+        known = {f_.name for f_ in schema.fields} if schema is not None else set()
+        unknown = sorted(set(assignments) - known)
+        if unknown:
+            raise ValueError(f"update_where: no such columns: {unknown}")
+        return self._rewrite_where(condition, assignments, prune, "update_where")
+
+    def remove_orphans(self, grace_seconds: float = 86400.0) -> dict:
+        """Delete data version dirs no manifest references (Iceberg
+        ``remove_orphan_files`` analogue).
+
+        A crash between the parquet write and the manifest commit — or an
+        abandoned write-audit-publish branch whose manifests were expired —
+        leaves a ``data/v{N}`` dir nothing points at. Those dirs are
+        invisible to readers but hold real bytes forever. This walks every
+        manifest still present (main ancestry, branches, tags — all of
+        them), unions the data versions they reference (bases + pending
+        merge-on-read deltas), and removes unreferenced dirs older than
+        ``grace_seconds``. The grace window is what makes it safe to run
+        concurrently with a writer: an in-flight merge's freshly written dir
+        is unreferenced only for the instant before its manifest commits,
+        and its mtime is new.
+
+        Returns ``{"removed": [version, …], "kept_young": n}``.
+        """
+        manifest_dir = os.path.join(self.root, "manifests")
+        live: set[int] = set()
+        for name in os.listdir(manifest_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            m = self.manifest(int(name[1:-5]))
+            live.update(int(v) for v in m["buckets"].values())
+            for vs in m.get("deltas", {}).values():
+                live.update(int(v) for v in vs)
+        data_dir = os.path.join(self.root, "data")
+        now = time.time()
+        removed, kept_young = [], 0
+        for name in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
+            if not name.startswith("v") or not name[1:].isdigit():
+                continue
+            v = int(name[1:])
+            if v in live:
+                continue
+            path = os.path.join(data_dir, name)
+            if now - os.path.getmtime(path) < grace_seconds:
+                kept_young += 1
+                continue
+            shutil.rmtree(path)
+            removed.append(v)
+        return {"removed": removed, "kept_young": kept_young}
 
 
 def iceberg_merge_sql(table: str, source_view: str, keys: list[str], columns: list[str]) -> str:

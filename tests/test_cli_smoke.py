@@ -308,3 +308,56 @@ def test_cli_bootstrap_branch_publish(spark, tmp_path):
         for r in LakeTable.load(spark, table_dir).read().collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_cli_mutations_and_vacuum(spark, tmp_path):
+    """--delete-where / --update-where / --remove-orphans: the compliance and
+    storage-hygiene maintenance verbs, each from a fresh driver process."""
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+
+    log_dir = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    ckpt_dir = str(tmp_path / "ckpt")
+    changelog(spark, 3000, num_repos=8, paths_per_repo=30).write.parquet(log_dir)
+    _run_cli(
+        "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+        "--create", "--available-now", "--buckets", "16",
+        "--master", "local[4]", "--shuffle-partitions", "8",
+    )
+
+    t = LakeTable.load(spark, table_dir)
+    victim = t.read().groupBy("repo").count().orderBy("repo").first()
+
+    # redact one repo's contents, then erase it entirely
+    upd = json.loads(
+        _run_cli(
+            "--table", table_dir, "--update-where", f"repo = '{victim['repo']}'",
+            "--set", json.dumps({"content": "'[redacted]'"}),
+            "--master", "local[4]",
+        )
+    )
+    assert upd["update"]["rows_matched"] == victim["count"]
+    dele = json.loads(
+        _run_cli(
+            "--table", table_dir, "--delete-where", f"repo = '{victim['repo']}'",
+            "--master", "local[4]",
+        )
+    )
+    assert dele["delete"]["rows_matched"] == victim["count"]
+
+    # fabricate a crashed write, then vacuum it (grace 0: remove immediately)
+    orphan = os.path.join(table_dir, "data", "v9999")
+    os.makedirs(orphan)
+    vac = json.loads(
+        _run_cli(
+            "--table", table_dir, "--remove-orphans", "--orphan-grace-sec", "0",
+            "--master", "local[4]",
+        )
+    )
+    assert vac["orphans"]["removed"] == [9999]
+
+    final = LakeTable.load(spark, table_dir).read()
+    assert final.filter(F.col("repo") == victim["repo"]).count() == 0
+    assert final.count() > 0

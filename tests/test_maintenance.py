@@ -1,0 +1,177 @@
+"""Predicate DELETE/UPDATE (copy-on-write) and orphan-file vacuum (round 5).
+
+The scale claims are structural and asserted on the manifest, not inferred:
+a predicate mutation must rewrite ONLY the buckets holding matching rows
+(untouched buckets keep their existing data-version references), stats
+pruning must keep disjoint buckets out of the candidate scan, and vacuum
+must never touch a referenced or fresh data dir.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(spark, root, key_columns=["repo", "path"], num_buckets=16)
+    src = spark.range(400).select(
+        F.concat(F.lit("repo-"), (F.col("id") % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+        F.col("id").alias("_lsn"),
+        F.lit(False).alias("_tombstone"),
+        F.concat(F.lit("content-"), F.col("id").cast("string")).alias("content"),
+    )
+    t.merge(src, epoch_id=0)
+    return t
+
+
+class TestDeleteWhere:
+    def test_rows_gone_and_counted(self, spark, table):
+        before = table.read().count()
+        out = table.delete_where(F.col("repo") == "repo-3")
+        assert out["rows_matched"] == 20
+        assert table.read().filter(F.col("repo") == "repo-3").count() == 0
+        assert table.read().count() == before - 20
+
+    def test_only_dirty_buckets_rewritten(self, spark, table):
+        m0 = table.manifest()
+        out = table.delete_where(F.col("repo") == "repo-3")
+        m1 = table.manifest()
+        assert m1["version"] == m0["version"] + 1
+        changed = [
+            b for b in m0["buckets"]
+            if m1["buckets"].get(b) != m0["buckets"][b]
+        ]
+        # repo-3's 20 paths hash into a few of 16 buckets, never all
+        assert 1 <= len(changed) == out["buckets_rewritten"] < len(m0["buckets"])
+        # untouched buckets still reference the ORIGINAL files by version
+        untouched = set(m0["buckets"]) - set(changed)
+        assert untouched
+        for b in untouched:
+            assert m1["buckets"][b] == m0["buckets"][b]
+
+    def test_time_travel_still_sees_rows(self, spark, table):
+        v0 = table.manifest()["version"]
+        table.delete_where(F.col("repo") == "repo-3")
+        old = table.read(version=v0)
+        assert old.filter(F.col("repo") == "repo-3").count() == 20
+
+    def test_no_match_commits_nothing(self, spark, table):
+        v0 = table.manifest()["version"]
+        out = table.delete_where(F.col("repo") == "no-such-repo")
+        assert out == {"op": "delete_where", "rows_matched": 0, "buckets_rewritten": 0}
+        assert table.manifest()["version"] == v0
+
+    def test_delete_ignores_tombstone_markers(self, spark, table):
+        # a delete marker for repo-3 must survive a predicate delete (it still
+        # shields against late lower-LSN inserts); only live rows are matched
+        tomb = spark.createDataFrame(
+            [("repo-3", "ghost.py", 10_000, True, None)],
+            "repo string, path string, _lsn long, _tombstone boolean, content string",
+        )
+        table.merge(tomb, epoch_id=1)
+        table.delete_where(F.col("repo") == "repo-3")
+        internal = table.read_internal()
+        markers = internal.filter(F.col("_tombstone") & (F.col("repo") == "repo-3"))
+        assert markers.count() == 1
+
+    def test_stats_pruned_scan(self, spark, table):
+        # the candidate scan honors the same manifest-stats pruning as read():
+        # a prune window matching nothing returns without a rewrite
+        out = table.delete_where(
+            F.col("_lsn") > 10_000_000, prune={"_lsn": (10_000_001, None)}
+        )
+        assert out["rows_matched"] == 0
+
+
+class TestUpdateWhere:
+    def test_values_rewritten(self, spark, table):
+        out = table.update_where(
+            F.col("repo") == "repo-3",
+            {"content": F.lit("[redacted]")},
+        )
+        assert out["rows_matched"] == 20
+        got = table.read().filter(F.col("repo") == "repo-3")
+        assert got.count() == 20
+        assert got.filter(F.col("content") == "[redacted]").count() == 20
+        # no other repo was touched
+        others = table.read().filter(F.col("repo") != "repo-3")
+        assert others.filter(F.col("content") == "[redacted]").count() == 0
+
+    def test_rhs_sees_old_row(self, spark, table):
+        table.update_where(
+            F.col("repo") == "repo-3",
+            {"content": F.concat(F.col("content"), F.lit("!"))},
+        )
+        got = table.read().filter(F.col("repo") == "repo-3").select("path", "content")
+        for r in got.collect():
+            assert r["content"].startswith("content-") and r["content"].endswith("!")
+
+    def test_schema_type_preserved(self, spark, table):
+        # assignment exprs are cast back to the table type: an int literal
+        # into a string column stays a string column
+        table.update_where(F.col("repo") == "repo-3", {"content": F.lit(7)})
+        assert dict(table.read().dtypes)["content"] == "string"
+        assert (
+            table.read()
+            .filter((F.col("repo") == "repo-3") & (F.col("content") == "7"))
+            .count()
+            == 20
+        )
+
+    def test_key_and_bookkeeping_columns_rejected(self, spark, table):
+        with pytest.raises(ValueError, match="key/bookkeeping"):
+            table.update_where(F.lit(True), {"repo": F.lit("x")})
+        with pytest.raises(ValueError, match="key/bookkeeping"):
+            table.update_where(F.lit(True), {"_lsn": F.lit(0)})
+        with pytest.raises(ValueError, match="no such columns"):
+            table.update_where(F.lit(True), {"nope": F.lit(0)})
+
+
+class TestRemoveOrphans:
+    def test_orphan_removed_live_kept(self, spark, table, tmp_path):
+        data_dir = os.path.join(str(tmp_path / "lake"), "data")
+        live_before = sorted(os.listdir(data_dir))
+        # fabricate a crashed write: a data dir no manifest references
+        orphan = os.path.join(data_dir, "v9999")
+        os.makedirs(orphan)
+        old = 0  # epoch mtime — far past any grace window
+        os.utime(orphan, (old, old))
+        out = table.remove_orphans(grace_seconds=3600)
+        assert out["removed"] == [9999]
+        assert sorted(os.listdir(data_dir)) == live_before
+        # table still reads
+        assert table.read().count() == 400
+
+    def test_young_orphan_survives_grace(self, spark, table, tmp_path):
+        data_dir = os.path.join(str(tmp_path / "lake"), "data")
+        orphan = os.path.join(data_dir, "v9999")
+        os.makedirs(orphan)  # fresh mtime = an in-flight commit
+        out = table.remove_orphans(grace_seconds=3600)
+        assert out == {"removed": [], "kept_young": 1}
+        assert os.path.isdir(orphan)
+        shutil.rmtree(orphan)
+
+    def test_branch_referenced_version_is_not_orphan(self, spark, table, tmp_path):
+        # stage a WAP write on a branch: its data version is referenced only
+        # by the branch manifest, and must survive vacuum
+        staging = table.create_branch("audit")
+        upd = spark.createDataFrame(
+            [("repo-0", "f0.py", 50_000, False, "staged")],
+            "repo string, path string, _lsn long, _tombstone boolean, content string",
+        )
+        staging.merge(upd, epoch_id=99)
+        data_dir = os.path.join(str(tmp_path / "lake"), "data")
+        for name in os.listdir(data_dir):  # age everything past the grace
+            p = os.path.join(data_dir, name)
+            os.utime(p, (0, 0))
+        out = table.remove_orphans(grace_seconds=3600)
+        assert out["removed"] == []
+        assert staging.read().filter(F.col("content") == "staged").count() == 1
