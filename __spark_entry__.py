@@ -899,6 +899,39 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_compliance_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE + DELETE over a REAL on-disk LakeTable, staged on a
+    branch (write-audit-publish shape, so the shared replayed table's main
+    head stays untouched for the other cdc gates).
+
+    The compliance scenario: pseudonymize the payload of every live 'click'
+    row (``update_where``), then erase every user in an id cohort
+    (``delete_where``) — each a copy-on-write snapshot that rewrites only the
+    buckets holding matching rows. The oracle recomputes the same end state
+    directly from the log: LWW final state, clicks' props redacted, the
+    cohort absent. Delete markers must survive the mutations (they shield
+    against late lower-LSN replays), which the oracle checks implicitly:
+    had a marker been updated or deleted, resurrection-by-marker-loss would
+    change no row here, but the live-rows-only semantics is what keeps the
+    matched counts equal to the oracle's row arithmetic.
+    """
+    table, _ = _pruned_tail_table(spark, sf_dir)
+    try:
+        table.drop_ref("erase")  # idempotent re-run: rebuild from main head
+    except KeyError:
+        pass
+    staged = table.create_branch("erase")
+    staged.update_where(F.col("event_type") == "click", {"props": F.lit("[redacted]")})
+    staged.delete_where(F.col("user_id").cast("long") % 10 == 3)
+    return staged.read().select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("_lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
@@ -1374,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_pruned_tail": q_cdc_pruned_tail,
         "cdc_incremental_agg": q_cdc_incremental_agg,
+        "cdc_compliance_erase": q_cdc_compliance_erase,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -1624,6 +1658,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND event_type <> 'error'
               AND event_id >= (SELECT CAST(FLOOR(max(event_id) / 2) AS BIGINT)
                                FROM events)
+        """,
+        "cdc_compliance_erase": """
+            -- the oracle recomputes the post-mutation table directly from
+            -- the log: LWW final state, clicks' props redacted, cohort
+            -- user_id % 10 = 3 erased
+            SELECT user_id,
+                   event_id AS last_lsn,
+                   event_type AS last_event_type,
+                   value AS last_value,
+                   CASE WHEN event_type = 'click' THEN '[redacted]'
+                        ELSE props END AS last_props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error' AND user_id % 10 <> 3
         """,
         "cdc_incremental_agg": """
             -- the oracle recomputes the maintained view from the FINAL

@@ -98,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--compact", action="store_true",
                    help="maintenance: fold pending merge-on-read deltas, then exit")
+    p.add_argument("--compact-sort-by", default=None, metavar="COL[,COL...]",
+                   help="sort-order compaction: cluster each rewritten bucket "
+                        "on these columns so row-group stats become disjoint "
+                        "(range scans skip inside files)")
     p.add_argument("--expire-keep", type=int, default=None,
                    help="maintenance: expire all but the newest N snapshots, then exit")
     p.add_argument("--purge-below-watermark", action="store_true",
@@ -283,7 +287,8 @@ def main(argv: list[str] | None = None) -> int:
 
         out = {}
         if args.compact:
-            out["compacted_buckets"] = table.compact()
+            sort_by = args.compact_sort_by.split(",") if args.compact_sort_by else None
+            out["compacted_buckets"] = table.compact(sort_by=sort_by)
         if args.delete_where is not None:
             out["delete"] = table.delete_where(F.expr(args.delete_where))
         if args.update_where is not None:

@@ -1542,7 +1542,11 @@ class LakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
-    def compact(self, buckets: list[int] | None = None) -> int:
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """Fold pending merge-on-read deltas into fresh base files.
 
         The standalone Iceberg ``rewrite_data_files`` analogue for
@@ -1551,6 +1555,15 @@ class LakeTable:
         file in a new snapshot; the manifest drops the folded delta refs.
         Returns the number of buckets compacted. Run it between ingest
         bursts to restore scan-only reads.
+
+        ``sort_by`` clusters each rewritten bucket on the given columns
+        (Iceberg sort-order compaction): rows land in parquet row groups in
+        sorted order, so the per-row-group min/max stats become disjoint and
+        a pushed-down range predicate on those columns skips whole row
+        groups INSIDE the files that bucket- and manifest-level pruning
+        already narrowed to. Sorting is within-bucket only — one extra local
+        sort per task, no extra shuffle — and is recorded in the manifest as
+        ``sort_order`` for audit.
         """
         manifest = self.manifest()
         pending = manifest.get("deltas", {})
@@ -1562,8 +1575,14 @@ class LakeTable:
         folded = self._read_buckets(manifest, todo)
         new_version = self._next_version()
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
+        clustered = folded.repartition(len(todo), F.col(BUCKET_COL))
+        if sort_by:
+            # BUCKET_COL leads the sort: hash repartition may co-locate two
+            # buckets in one task, and partitionBy splits them back into
+            # separate files — each must stay internally sorted
+            clustered = clustered.sortWithinPartitions(BUCKET_COL, *sort_by)
         (
-            folded.repartition(len(todo), F.col(BUCKET_COL))
+            clustered
             .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
@@ -1591,6 +1610,7 @@ class LakeTable:
                 "summary": {
                     "committed_at_ms": int(time.time() * 1000),
                     "compacted_buckets": len(todo),
+                    **({"sort_order": list(sort_by)} if sort_by else {}),
                 },
             }, out_dir)
         )

@@ -175,3 +175,40 @@ class TestRemoveOrphans:
         out = table.remove_orphans(grace_seconds=3600)
         assert out["removed"] == []
         assert staging.read().filter(F.col("content") == "staged").count() == 1
+
+
+class TestSortedCompaction:
+    def test_sort_order_clusters_rows(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "lake2")
+        t = LakeTable.create(spark, root, key_columns=["repo", "path"], num_buckets=4)
+        # two merge-on-read epochs with interleaved LSNs -> unsorted deltas
+        for e, lo in enumerate((0, 1)):
+            src = spark.range(200).select(
+                F.concat(F.lit("r"), (F.col("id") % 5).cast("string")).alias("repo"),
+                F.concat(F.lit("f"), (2 * F.col("id") + lo).cast("string")).alias("path"),
+                (F.shiftleft(F.col("id") % 50, 1) + lo).alias("_lsn"),
+                F.lit(False).alias("_tombstone"),
+                F.lit("x").alias("content"),
+            )
+            t.merge(src, epoch_id=e, mode="defer")
+        assert t.manifest().get("deltas")
+        n = t.compact(sort_by=["_lsn"])
+        assert n > 0
+        m = t.manifest()
+        assert m["summary"]["sort_order"] == ["_lsn"]
+        assert m.get("deltas", {}) == {}
+        # every rewritten bucket file holds its rows in _lsn order: parquet
+        # preserves row order, so row-group min/max on _lsn are disjoint and
+        # a pushed-down range predicate skips whole row groups
+        vdir = os.path.join(root, "data", f"v{m['version']}")
+        files = glob.glob(os.path.join(vdir, "_bucket=*", "*.parquet"))
+        assert files
+        for f in files:
+            lsns = pq.read_table(f, columns=["_lsn"]).column("_lsn").to_pylist()
+            assert lsns == sorted(lsns), f
+        # content identical to what the unsorted read said before compaction
+        assert t.read().count() == 400
