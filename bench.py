@@ -765,6 +765,72 @@ def _scaling_headline(out: dict) -> dict | None:
     return best
 
 
+def _scaling_history() -> dict | None:
+    """Cross-run scaling evidence from BENCH.md's persistent run-history
+    table. Host noise on this box is bimodal (quiet 20-40 min phases
+    alternate with loud ones), so any single bench invocation can land loud
+    and report only dirty windows; the history table carries every full run,
+    and this folds it into the artifact so the driver's JSON answers "has
+    the bar ever been met on this host, and by which run" even when the
+    in-run windows are noise-bound. Read-only: never mutates BENCH.md."""
+    md_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    if not os.path.exists(md_path):
+        return None
+    runs = []
+    in_hist = False
+    for ln in open(md_path):
+        if ln.startswith("## Run history"):
+            in_hist = True
+            continue
+        if in_hist and ln.startswith("## "):
+            in_hist = False
+        if not (in_hist and ln.startswith("| 20")):
+            continue
+        cells = [c.strip() for c in ln.split("|")[1:-1]]
+        if len(cells) == 7:  # rows written before the small-bracket columns
+            cells = cells[:1] + ["—", "—"] + cells[1:]
+        if len(cells) != 9:
+            continue
+
+        def _pair(cell: str, cast=float):
+            if "/" not in cell:
+                return (None, None)
+            a, b = cell.split("/", 1)
+            try:
+                return (cast(a), cast(b))
+            except ValueError:
+                return (None, None)
+
+        sc, sw = _pair(cells[1], int)
+        sm, sb = _pair(cells[2])
+        runs.append({
+            "run_utc": cells[0],
+            "small_clean": sc, "small_windows": sw,
+            "small_median_eff": sm, "small_best_eff": sb,
+        })
+    if not runs:
+        return None
+    bar = lambda r: (  # noqa: E731 — same bar as _scaling_headline
+        (r["small_clean"] or 0) >= 3
+        and (r["small_median_eff"] or 0) >= 0.5
+        and (r["small_best_eff"] or 0) >= 0.65
+    )
+    meeting = [r for r in runs if bar(r)]
+    best = max(
+        (r for r in runs if r["small_clean"]),
+        key=lambda r: (bar(r), r["small_clean"], r["small_median_eff"] or 0),
+        default=None,
+    )
+    return {
+        "section": "scaling_executors_small (1-vs-4 executors, 4->16 cores)",
+        "bar": ">=3 clean windows, median raw >=0.5, best >=0.65",
+        "runs_recorded": len(runs),
+        "runs_meeting_bar": len(meeting),
+        "best_run": best,
+        "bar_ever_met": bool(meeting),
+    }
+
+
 def bench_scan_scaling(events_path: str, rounds: int = 3) -> dict:
     """N vs 4N throughput of the merge's WIDE PATH in isolation: full-payload
     scan + transform chain + merge-source projection to a noop sink — the
@@ -1420,6 +1486,8 @@ def main() -> None:
         "queries": {},
         "skipped_sections": [],
     })
+    OUT["scaling_history"] = _scaling_history()
+    flush_partial("scaling_history")
     replay = scaling_exec = scaling_thr = scan_scaling = None
     queries: dict[str, float] = {}
     ann_recall = pair_recall = None
