@@ -932,6 +932,60 @@ def q_cdc_compliance_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-form MERGE INTO (Delta/Iceberg verb) over a REAL on-disk
+    LakeTable, staged on its own branch of the shared replayed table.
+
+    One deterministic source drives all three clauses at once: users with
+    ``uid % 10 == 4`` are upserts (matched live rows get their props
+    replaced; users whose final log event was a delete get REINSERTED over
+    their tombstone marker, adopting the marker's LSN so the replay shield
+    survives), ``uid % 10 == 5`` are deletes (live rows only — a delete op
+    on a dead key is a no-op), and ``uid % 10 == 6`` contribute brand-new
+    keys (``uid + 1_000_000``) that insert with the source's LSN (0). The
+    oracle recomputes the same end state from the log with plain joins.
+    The ``op`` column exercises the conditions-only source namespace (it is
+    not a table column and never lands in the table).
+    """
+    table, _ = _pruned_tail_table(spark, sf_dir)
+    try:
+        table.drop_ref("minto")  # idempotent re-run: rebuild from main head
+    except KeyError:
+        pass
+    staged = table.create_branch("minto")
+    users = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("long").alias("uid"))
+        .distinct()
+        .filter((F.col("uid") % 10).isin(4, 5, 6))
+    )
+    src = users.select(
+        F.when(F.col("uid") % 10 == 6, F.col("uid") + 1_000_000)
+        .otherwise(F.col("uid"))
+        .cast("string")
+        .alias("user_id"),
+        F.when(F.col("uid") % 10 == 5, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.lit("merged").alias("event_type"),
+        F.lit("[inserted]").alias("props"),
+    )
+    staged.merge_into(
+        src,
+        matched_update={"props": F.lit("[merged]")},
+        matched_update_condition=F.col("src.op") == "upsert",
+        matched_delete_condition=F.col("src.op") == "delete",
+        not_matched_condition=F.col("src.op") == "upsert",
+    )
+    return staged.read().select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("_lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
@@ -1408,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pruned_tail": q_cdc_pruned_tail,
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_compliance_erase": q_cdc_compliance_erase,
+        "cdc_merge_into": q_cdc_merge_into,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -1673,6 +1728,48 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error' AND user_id % 10 <> 3
+        """,
+        "cdc_merge_into": """
+            -- the oracle recomputes the post-MERGE table from the log:
+            -- LWW final state, then the three clauses as plain joins —
+            -- %10=5 live rows deleted, %10=4 matched rows' props replaced,
+            -- unmatched upserts inserted (over a marker: the marker's LSN;
+            -- brand-new %10=6 keys at uid+1000000: LSN 0)
+            WITH ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events),
+            final AS (
+              SELECT user_id, event_id, event_type, value, props
+              FROM ranked WHERE rn = 1),
+            live AS (SELECT * FROM final WHERE event_type <> 'error'),
+            dead AS (SELECT user_id, event_id FROM final
+                     WHERE event_type = 'error'),
+            src AS (
+              SELECT CASE WHEN user_id % 10 = 6 THEN user_id + 1000000
+                          ELSE user_id END AS user_id,
+                     CASE WHEN user_id % 10 = 5 THEN 'delete'
+                          ELSE 'upsert' END AS op
+              FROM (SELECT DISTINCT user_id FROM events)
+              WHERE user_id % 10 IN (4, 5, 6))
+            SELECT l.user_id,
+                   l.event_id AS last_lsn,
+                   l.event_type AS last_event_type,
+                   l.value AS last_value,
+                   CASE WHEN s.user_id IS NOT NULL AND s.op = 'upsert'
+                        THEN '[merged]' ELSE l.props END AS last_props
+            FROM live l LEFT JOIN src s ON l.user_id = s.user_id
+            WHERE s.op IS DISTINCT FROM 'delete'
+            UNION ALL
+            SELECT s.user_id,
+                   COALESCE(d.event_id, 0) AS last_lsn,
+                   'merged' AS last_event_type,
+                   NULL AS last_value,
+                   '[inserted]' AS last_props
+            FROM src s
+            LEFT JOIN live l ON l.user_id = s.user_id
+            LEFT JOIN dead d ON d.user_id = s.user_id
+            WHERE l.user_id IS NULL AND s.op = 'upsert'
         """,
         "cdc_incremental_agg": """
             -- the oracle recomputes the maintained view from the FINAL

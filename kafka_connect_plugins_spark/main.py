@@ -104,6 +104,18 @@ def main(argv: list[str] | None = None) -> int:
                         "(range scans skip inside files)")
     p.add_argument("--expire-keep", type=int, default=None,
                    help="maintenance: expire all but the newest N snapshots, then exit")
+    p.add_argument("--expire-max-age-sec", type=float, default=None,
+                   help="with --expire-keep: additionally retain every "
+                        "snapshot younger than this many seconds (time-based "
+                        "guard; only ever widens retention)")
+    p.add_argument("--history", action="store_true",
+                   help="print the snapshot log (version, commit time, op "
+                        "summary) along the current ref, newest first, then "
+                        "exit — no scan")
+    p.add_argument("--describe", action="store_true",
+                   help="print a metadata-only table report (snapshot, "
+                        "schema, per-bucket rows + skew, pending deltas, "
+                        "refs) and exit — no scan")
     p.add_argument("--purge-below-watermark", action="store_true",
                    help="maintenance: drop delete markers below the ingest's "
                         "min per-partition applied-LSN watermark (from the "
@@ -123,6 +135,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--set", default=None, metavar="JSON", dest="set_exprs",
                    help='column → SQL expression map for --update-where, '
                         'e.g. \'{"content": "\'[redacted]\'", "lang": "lang"}\'')
+    p.add_argument("--merge-into", default=None, metavar="PARQUET_DIR",
+                   help="maintenance: clause-form MERGE INTO from a parquet "
+                        "source (key columns + payload; extra columns are "
+                        "conditions-only under 'src'); combine with "
+                        "--matched-update / --matched-update-cond / "
+                        "--matched-delete-cond / --not-matched-cond / "
+                        "--no-insert, then exits")
+    p.add_argument("--matched-update", default=None, metavar="JSON",
+                   help='column → SQL expression map for --merge-into, e.g. '
+                        '\'{"content": "src.content"}\'')
+    p.add_argument("--matched-update-cond", default=None, metavar="SQL_EXPR",
+                   help="WHEN MATCHED AND <expr> THEN UPDATE guard "
+                        "(e.g. \"src.op = 'upsert'\")")
+    p.add_argument("--matched-delete-cond", default=None, metavar="SQL_EXPR",
+                   help="WHEN MATCHED AND <expr> THEN DELETE clause")
+    p.add_argument("--not-matched-cond", default=None, metavar="SQL_EXPR",
+                   help="WHEN NOT MATCHED AND <expr> THEN INSERT guard")
+    p.add_argument("--no-insert", action="store_true",
+                   help="disable the NOT MATCHED INSERT clause of --merge-into")
     p.add_argument("--remove-orphans", action="store_true",
                    help="maintenance: delete data dirs no manifest references "
                         "(crashed writes, expired WAP branches), then exit")
@@ -190,7 +221,10 @@ def main(argv: list[str] | None = None) -> int:
             or args.purge_below_watermark
             or args.delete_where is not None
             or args.update_where is not None
+            or args.merge_into is not None
             or args.remove_orphans
+            or args.describe
+            or args.history
             or args.bootstrap
             or args.create_branch
             or args.tag
@@ -281,7 +315,10 @@ def main(argv: list[str] | None = None) -> int:
         or args.rebucket is not None
         or args.delete_where is not None
         or args.update_where is not None
+        or args.merge_into is not None
         or args.remove_orphans
+        or args.describe
+        or args.history
     ):
         from pyspark.sql import functions as F
 
@@ -296,6 +333,28 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--update-where requires --set")
             sets = {c: F.expr(sql) for c, sql in json.loads(args.set_exprs).items()}
             out["update"] = table.update_where(F.expr(args.update_where), sets)
+        if args.merge_into is not None:
+            upd = (
+                {c: F.expr(sql) for c, sql in json.loads(args.matched_update).items()}
+                if args.matched_update else None
+            )
+            out["merge_into"] = table.merge_into(
+                spark.read.parquet(args.merge_into),
+                matched_update=upd,
+                matched_update_condition=(
+                    F.expr(args.matched_update_cond)
+                    if args.matched_update_cond else None
+                ),
+                matched_delete_condition=(
+                    F.expr(args.matched_delete_cond)
+                    if args.matched_delete_cond else None
+                ),
+                not_matched_insert=not args.no_insert,
+                not_matched_condition=(
+                    F.expr(args.not_matched_cond)
+                    if args.not_matched_cond else None
+                ),
+            )
         if args.remove_orphans:
             out["orphans"] = table.remove_orphans(grace_seconds=args.orphan_grace_sec)
         if args.rebucket is not None:
@@ -304,7 +363,18 @@ def main(argv: list[str] | None = None) -> int:
             metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
             out["purge"] = table.purge_below_watermark(metrics, args.stream_id)
         if args.expire_keep is not None:
-            out.update(table.expire_snapshots(keep_last=args.expire_keep))
+            import time as _time
+            older = (
+                int((_time.time() - args.expire_max_age_sec) * 1000)
+                if args.expire_max_age_sec is not None else None
+            )
+            out.update(table.expire_snapshots(
+                keep_last=args.expire_keep, older_than_ms=older,
+            ))
+        if args.describe:
+            out["describe"] = table.describe()
+        if args.history:
+            out["history"] = table.history()
         print(json.dumps(out))
         return 0
 

@@ -115,6 +115,12 @@ class MergePrep:
     table_root: str                 # safety: prep is table-specific
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic commit lost the race: the ref advanced after this
+    operation read its base snapshot. Re-read and retry (Iceberg's
+    compare-and-swap commit contract)."""
+
+
 class SchemaEvolutionError(TypeError):
     """Incompatible schema change (type conflict / non-additive)."""
 
@@ -201,6 +207,23 @@ class LakeTable:
 
     def _write_manifest(self, manifest: dict) -> None:
         version = manifest["version"]
+        # Optimistic concurrency (Iceberg's compare-and-swap commit): the
+        # snapshot was prepared against its ``parent``; if the ref moved on
+        # since — a CLI maintenance op racing a live ingest is the real
+        # case — fail loudly instead of silently orphaning the other
+        # writer's commit. The loser re-reads and retries; the abandoned
+        # data dir is ``remove_orphans`` food. Root-snapshot commits
+        # (parent None) skip the check.
+        parent = manifest.get("parent")
+        if parent is not None:
+            head = self._head_version(self.ref)
+            if int(head) != int(parent):
+                raise CommitConflictError(
+                    f"ref {self.ref!r} advanced to v{head} while this "
+                    f"operation was prepared against v{parent}; re-read "
+                    f"and retry (abandoned data dir v{version} will be "
+                    f"vacuumed by remove_orphans)"
+                )
         path = os.path.join(self.root, "manifests", f"v{version}.json")
         with open(path, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
@@ -1684,7 +1707,77 @@ class LakeTable:
     # ------------------------------------------------------------------
     # retention
     # ------------------------------------------------------------------
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def describe(self, version: int | None = None) -> dict:
+        """Metadata-only table report — no Spark job, no file scan.
+
+        Everything comes from the manifest: snapshot lineage, schema, per-
+        bucket physical row counts (from the footer stats each commit already
+        records) and the skew ratio between the hottest and the median
+        bucket — the number that says whether :meth:`rebucket` or key
+        salting is due BEFORE a 100 TB scan finds out the hard way. Row
+        counts are physical (delete markers and unfolded merge-on-read delta
+        rows included), matching what the next maintenance rewrite will
+        actually lift.
+        """
+        m = self.manifest(version)
+        rows_by_bucket: dict[str, int] = {}
+        for key, st in m.get("file_stats", {}).items():
+            b = key.split("/", 1)[1]
+            rows_by_bucket[b] = rows_by_bucket.get(b, 0) + int(st.get("__rows", 0))
+        counts = sorted(rows_by_bucket.values())
+        med = counts[len(counts) // 2] if counts else 0
+        schema = self._table_schema(m)
+        return {
+            "version": int(m["version"]),
+            "parent": m.get("parent"),
+            "ref": self.ref,
+            "key_columns": list(m["key_columns"]),
+            "num_buckets": int(m["num_buckets"]),
+            "buckets_with_data": len(m["buckets"]),
+            "pending_delta_buckets": len(m.get("deltas", {})),
+            "data_versions_referenced": sorted({
+                int(v) for v in m["buckets"].values()
+            } | {int(v) for vs in m.get("deltas", {}).values() for v in vs}),
+            "physical_rows": sum(counts),
+            "rows_per_bucket": {
+                "min": counts[0] if counts else 0,
+                "median": med,
+                "max": counts[-1] if counts else 0,
+                "skew_max_over_median": round(counts[-1] / med, 3) if med else None,
+            },
+            "columns": [f_.name for f_ in schema.fields] if schema else [],
+            "streams": dict(m.get("epochs", {})),
+            "refs": self.refs(),
+        }
+
+    def history(self, ref: str | None = None) -> list[dict]:
+        """Snapshot log along a ref's ancestry, newest first (Iceberg
+        ``table.history()`` analogue) — metadata only, no scan.
+
+        Each entry carries the commit's own summary (epoch merges record
+        stream/epoch/rows, maintenance ops record what they did), so the
+        audit question "what changed the table, when, and how much" reads
+        straight off the manifests that time travel already keeps.
+        """
+        out = []
+        for v in self._ancestry(self._head_version(ref or self.ref)):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # expired below the retention horizon
+            out.append({
+                "version": int(v),
+                "parent": m.get("parent"),
+                "committed_at_ms": m.get("summary", {}).get("committed_at_ms"),
+                "summary": m.get("summary", {}),
+                "buckets_referenced": len(m.get("buckets", {})),
+                "pending_delta_buckets": len(m.get("deltas", {})),
+            })
+        return out
+
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> dict:
         """Garbage-collect data versions unreachable from the newest
         ``keep_last`` snapshots (Iceberg ``expire_snapshots`` analogue).
 
@@ -1695,6 +1788,12 @@ class LakeTable:
         manifests (older manifest files are removed too, ending their
         time-travel window). Returns ``{"data_versions_removed": …,
         "manifests_removed": …}``.
+
+        ``older_than_ms`` adds Iceberg's time-based guard: a snapshot whose
+        commit timestamp is at or after the cutoff is retained even beyond
+        ``keep_last`` — "keep one snapshot, but never expire anything
+        younger than N days" composes both dials. It only ever widens
+        retention.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -1713,6 +1812,20 @@ class LakeTable:
         refs = self.refs()
         for v in list(refs["branches"].values()) + list(refs["tags"].values()):
             retained_set.add(int(v))
+        if older_than_ms is not None:
+            for v in versions:
+                if v in retained_set:
+                    continue
+                m = self.manifest(v)
+                ts = m.get("summary", {}).get("committed_at_ms")
+                if ts is None:  # pre-summary manifest: fall back to file mtime
+                    ts = int(
+                        os.path.getmtime(
+                            os.path.join(manifest_dir, f"v{v}.json")
+                        ) * 1000
+                    )
+                if ts >= older_than_ms:
+                    retained_set.add(v)
         retained = sorted(v for v in versions if v in retained_set)
         live_data: set[int] = set()
         for v in retained:
@@ -1968,6 +2081,244 @@ class LakeTable:
         if unknown:
             raise ValueError(f"update_where: no such columns: {unknown}")
         return self._rewrite_where(condition, assignments, prune, "update_where")
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        matched_update: dict[str, Column] | None = None,
+        matched_update_condition: Column | None = None,
+        matched_delete_condition: Column | None = None,
+        not_matched_insert: bool = True,
+        not_matched_condition: Column | None = None,
+    ) -> dict:
+        """Generic clause-form MERGE INTO (the Delta/Iceberg verb), distinct
+        from :meth:`merge`'s LWW CDC upsert::
+
+            MERGE INTO t USING source ON <key columns>
+            WHEN MATCHED AND <delete_cond> THEN DELETE
+            WHEN MATCHED AND <update_cond> THEN UPDATE SET <assignments>
+            WHEN NOT MATCHED AND <insert_cond> THEN INSERT <source row>
+
+        Column namespace in conditions and assignments: the TARGET row's
+        columns by name, the SOURCE row's columns under the struct ``src``
+        (e.g. ``F.col("src.op") == "delete"``, ``{"props":
+        F.col("src.props")}``). "Matched" means matched a LIVE target row;
+        a key whose stored row is a delete marker counts as NOT matched
+        (the Delta semantics — the row is deleted), so an insert for it
+        REPLACES the marker, adopting ``greatest(source _lsn, marker _lsn)``
+        so the marker's replay shield survives: log events strictly below
+        the marker's LSN still lose to the out-of-band insert. Updated rows
+        keep their ``_lsn`` (same contract as :meth:`update_where`); brand
+        new keys take the source's ``_lsn`` (0 when the source has none).
+
+        Execution is the bucket-wise copy-on-write of
+        :meth:`delete_where`: source keys hash to their buckets with the
+        writer's own ``pmod(xxhash64(*keys), n)``, ONLY those buckets are
+        read (delta-collapsed) and full-outer-joined to the source on the
+        key columns — a 100-row source against a 100 TB table touches a
+        handful of buckets and never shuffles the table. Ambiguous merges
+        (two source rows sharing a key) raise, as Delta does. Source
+        columns outside the table schema are conditions-only (visible
+        under ``src``, never inserted — schema evolution is
+        :meth:`merge`'s business); table columns the source lacks insert
+        as NULL.
+
+        Returns ``{"op", "rows_updated", "rows_deleted", "rows_inserted",
+        "buckets_rewritten"}``; a no-op (no clause fired) commits nothing.
+        """
+        manifest = self.manifest()
+        keys = list(manifest["key_columns"])
+        n_buckets = int(manifest["num_buckets"])
+        schema = self._table_schema(manifest)
+        if schema is None:
+            raise ValueError("merge_into on an empty table with no schema yet")
+        table_cols = [f_.name for f_ in schema.fields if f_.name != BUCKET_COL]
+        if "src" in table_cols:
+            raise ValueError(
+                "merge_into reserves the name 'src' for the source-row "
+                "struct; this table has a column named 'src'"
+            )
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"source is missing key columns: {missing}")
+        # source columns OUTSIDE the table schema are legal: they're visible
+        # to conditions/assignments under ``src`` (e.g. an op discriminator)
+        # but never insert — only schema columns map into the table
+        # (merge_into does not evolve schemas; that's merge()'s business).
+        forbidden = set(keys) | {LSN_COL, BUCKET_COL, TOMBSTONE_COL}
+        bad = sorted(set(matched_update or {}) & forbidden)
+        if bad:
+            raise ValueError(
+                f"merge_into cannot assign key/bookkeeping columns: {bad}"
+            )
+        unknown = sorted(set(matched_update or {}) - set(table_cols))
+        if unknown:
+            raise ValueError(f"merge_into: no such columns: {unknown}")
+
+        src_payload = [c for c in source.columns if c not in keys]
+        src = source.select(
+            *[F.col(k) for k in keys],
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+            .cast("int")
+            .alias(BUCKET_COL),
+            F.struct(*[F.col(c) for c in src_payload]).alias("src"),
+        )
+        # one job: per-bucket source-key counts AND the ambiguity check
+        per_key = src.groupBy(BUCKET_COL, *keys).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        stats = per_key.groupBy(BUCKET_COL).agg(
+            F.max("__c").alias("__max"), F.count(F.lit(1)).alias("__keys")
+        ).collect()
+        if not stats:
+            return {"op": "merge_into", "rows_updated": 0, "rows_deleted": 0,
+                    "rows_inserted": 0, "buckets_rewritten": 0}
+        if max(int(r["__max"]) for r in stats) > 1:
+            raise ValueError(
+                "merge_into: multiple source rows share a key — the merge "
+                "is ambiguous (pre-collapse the source, or use merge() for "
+                "LWW streams)"
+            )
+        dirty = sorted(int(r[BUCKET_COL]) for r in stats)
+
+        current = self._read_buckets(manifest, dirty)
+        if current is None:
+            cur_schema = T.StructType(
+                [f_ for f_ in schema.fields if f_.name != BUCKET_COL]
+                + [T.StructField(BUCKET_COL, T.IntegerType())]
+            )
+            current = self.spark.createDataFrame([], cur_schema)
+        cur_cols = [c for c in current.columns if c != BUCKET_COL]
+        left = current.withColumn(
+            BUCKET_COL, F.col(BUCKET_COL).cast("int")
+        ).withColumn("__t", F.lit(True))
+        joined = left.join(src, on=keys + [BUCKET_COL], how="full_outer")
+
+        t_exists = F.coalesce(F.col("__t"), F.lit(False))
+        s_exists = F.col("src").isNotNull()
+        if TOMBSTONE_COL in cur_cols:
+            is_marker = t_exists & F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        else:
+            is_marker = F.lit(False)
+        live_match = t_exists & ~is_marker & s_exists
+        true_ = F.lit(True)
+        del_c = live_match & (
+            matched_delete_condition
+            if matched_delete_condition is not None else F.lit(False)
+        )
+        upd_c = live_match & (
+            (matched_update_condition
+             if matched_update_condition is not None else true_)
+            if matched_update is not None else F.lit(False)
+        )
+        ins_c = (
+            s_exists & ~live_match
+            & (F.lit(True) if not_matched_insert else F.lit(False))
+            & (not_matched_condition
+               if not_matched_condition is not None else true_)
+        )
+        action = (
+            F.when(del_c, F.lit("D"))   # order gives DELETE precedence
+            .when(upd_c, F.lit("U"))
+            .when(ins_c, F.lit("I"))
+            .when(t_exists, F.lit("C"))          # carry (incl. markers)
+            .otherwise(F.lit("X"))               # unmatched source, no insert
+        )
+        with_action = joined.withColumn("__a", action)
+        counts = {
+            r["__a"]: int(r["n"])
+            for r in with_action.groupBy("__a").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        result = {
+            "op": "merge_into",
+            "rows_updated": counts.get("U", 0),
+            "rows_deleted": counts.get("D", 0),
+            "rows_inserted": counts.get("I", 0),
+            "buckets_rewritten": 0,
+        }
+        if not (counts.get("U") or counts.get("D") or counts.get("I")):
+            return result
+
+        def out_col(c: str) -> Column:
+            base = F.col(c)
+            dt = current.schema[c].dataType
+            if c in keys:
+                ins = base  # join key: already coalesced by the ON list
+            elif c == LSN_COL:
+                src_lsn = (
+                    F.col(f"src.{LSN_COL}").cast(dt)
+                    if LSN_COL in src_payload else F.lit(0).cast(dt)
+                )
+                # replaced marker keeps its shield; fresh key takes src lsn
+                ins = F.greatest(
+                    F.coalesce(src_lsn, F.lit(0).cast(dt)),
+                    F.coalesce(base, F.lit(0).cast(dt)),
+                )
+            elif c == TOMBSTONE_COL:
+                ins = F.lit(False).cast(dt)
+            elif c in src_payload:
+                ins = F.col(f"src.{c}").cast(dt)
+            else:
+                ins = F.lit(None).cast(dt)
+            col = F.when(F.col("__a") == "I", ins)
+            if matched_update is not None and c in matched_update:
+                # cast INSIDE the branch — see _rewrite_where on why letting
+                # when/otherwise unify types would corrupt unmatched rows
+                col = col.when(
+                    F.col("__a") == "U", matched_update[c].cast(dt)
+                )
+            return col.otherwise(base).alias(c)
+
+        out = with_action.filter(F.col("__a").isin("U", "I", "C")).select(
+            F.col(BUCKET_COL), *[out_col(c) for c in cur_cols]
+        )
+        new_version = self._next_version()
+        out_dir = os.path.join(self.root, "data", f"v{new_version}")
+        (
+            out.repartition(len(dirty), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(out_dir)
+            if name.startswith(f"{BUCKET_COL}=")
+        }
+        buckets = dict(manifest["buckets"])
+        for b in dirty:
+            if b in written:
+                buckets[str(b)] = new_version  # adds insert-only buckets too
+            else:
+                buckets.pop(str(b), None)      # a delete emptied the bucket
+        self._write_manifest(
+            self._with_file_stats({
+                **manifest,
+                "version": new_version,
+                "parent": int(manifest["version"]),
+                "buckets": buckets,
+                # dirty buckets were read delta-collapsed: their pending
+                # merge-on-read deltas are folded into the new base files
+                "deltas": {
+                    b: list(vs)
+                    for b, vs in manifest.get("deltas", {}).items()
+                    if int(b) not in set(dirty)
+                },
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "op": "merge_into",
+                    "rows_updated": result["rows_updated"],
+                    "rows_deleted": result["rows_deleted"],
+                    "rows_inserted": result["rows_inserted"],
+                    "rewritten_buckets": len(dirty),
+                },
+            }, out_dir)
+        )
+        result["buckets_rewritten"] = len(dirty)
+        return result
 
     def remove_orphans(self, grace_seconds: float = 86400.0) -> dict:
         """Delete data version dirs no manifest references (Iceberg

@@ -361,3 +361,71 @@ def test_cli_mutations_and_vacuum(spark, tmp_path):
     final = LakeTable.load(spark, table_dir).read()
     assert final.filter(F.col("repo") == victim["repo"]).count() == 0
     assert final.count() > 0
+
+
+@pytest.mark.slow
+def test_cli_merge_into_describe_history(spark, tmp_path):
+    """--merge-into (clause-form MERGE from a parquet source) plus the
+    metadata-only observability verbs --describe / --history, each from a
+    fresh driver process."""
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+
+    log_dir = str(tmp_path / "log")
+    table_dir = str(tmp_path / "table")
+    ckpt_dir = str(tmp_path / "ckpt")
+    changelog(spark, 3000, num_repos=8, paths_per_repo=30).write.parquet(log_dir)
+    _run_cli(
+        "--events", log_dir, "--table", table_dir, "--checkpoint", ckpt_dir,
+        "--create", "--available-now", "--buckets", "16",
+        "--master", "local[4]", "--shuffle-partitions", "8",
+    )
+
+    t = LakeTable.load(spark, table_dir)
+    rows = t.read().orderBy("repo", "path").limit(2).collect()
+    upd_key, del_key = rows[0], rows[1]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (upd_key["repo"], upd_key["path"], "upsert", "[patched]"),
+            (del_key["repo"], del_key["path"], "delete", None),
+            ("brand/new", "fresh.py", "upsert", "[fresh]"),
+        ],
+        "repo string, path string, op string, content string",
+    ).write.parquet(src_dir)
+
+    out = json.loads(
+        _run_cli(
+            "--table", table_dir, "--merge-into", src_dir,
+            "--matched-update", json.dumps({"content": "src.content"}),
+            "--matched-update-cond", "src.op = 'upsert'",
+            "--matched-delete-cond", "src.op = 'delete'",
+            "--not-matched-cond", "src.op = 'upsert'",
+            "--master", "local[4]",
+        )
+    )["merge_into"]
+    assert out["rows_updated"] == 1 and out["rows_deleted"] == 1
+    assert out["rows_inserted"] == 1 and out["buckets_rewritten"] >= 1
+
+    state = {
+        (r["repo"], r["path"]): r["content"]
+        for r in LakeTable.load(spark, table_dir).read().collect()
+    }
+    assert state[(upd_key["repo"], upd_key["path"])] == "[patched]"
+    assert state[("brand/new", "fresh.py")] == "[fresh]"
+    assert (del_key["repo"], del_key["path"]) not in state
+
+    # metadata-only verbs from another process
+    desc = json.loads(
+        _run_cli("--table", table_dir, "--describe", "--master", "local[4]")
+    )["describe"]
+    assert desc["physical_rows"] > 0 and desc["num_buckets"] == 16
+    assert desc["rows_per_bucket"]["skew_max_over_median"] >= 1.0
+    hist = json.loads(
+        _run_cli("--table", table_dir, "--history", "--master", "local[4]")
+    )["history"]
+    assert hist[0]["summary"]["op"] == "merge_into"
+    assert hist[0]["summary"]["rows_inserted"] == 1
+    assert [e["version"] for e in hist] == sorted(
+        (e["version"] for e in hist), reverse=True
+    )

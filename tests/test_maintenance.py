@@ -212,3 +212,259 @@ class TestSortedCompaction:
             assert lsns == sorted(lsns), f
         # content identical to what the unsorted read said before compaction
         assert t.read().count() == 400
+
+
+class TestDescribe:
+    def test_metadata_only_report(self, spark, table):
+        d = table.describe()
+        assert d["physical_rows"] == 400
+        assert d["num_buckets"] == 16
+        assert d["buckets_with_data"] == len(table.manifest()["buckets"])
+        assert d["pending_delta_buckets"] == 0
+        assert {"repo", "path", "content", "_lsn"} <= set(d["columns"])
+        assert d["streams"] == {"default": 0}
+        assert d["rows_per_bucket"]["max"] >= d["rows_per_bucket"]["median"] > 0
+        assert d["rows_per_bucket"]["skew_max_over_median"] >= 1.0
+
+    def test_counts_markers_and_deltas(self, spark, table):
+        import pyspark.sql.functions as F2
+
+        tomb = spark.createDataFrame(
+            [("repo-3", "ghost.py", 10_000, True, None)],
+            "repo string, path string, _lsn long, _tombstone boolean, content string",
+        )
+        table.merge(tomb, epoch_id=1, mode="defer")
+        d = table.describe()
+        assert d["pending_delta_buckets"] == 1
+        # physical rows include the marker delta row
+        assert d["physical_rows"] == 401
+        assert table.read().count() == 400  # live view unchanged (marker hidden)
+        _ = F2  # silence unused warning path
+
+
+class TestTimeBasedExpiry:
+    def _set_commit_ts(self, root, ts_by_version):
+        import json as js
+
+        mdir = os.path.join(root, "manifests")
+        for name in os.listdir(mdir):
+            v = int(name[1:-5])
+            if v in ts_by_version:
+                p = os.path.join(mdir, name)
+                m = js.load(open(p))
+                m.setdefault("summary", {})["committed_at_ms"] = ts_by_version[v]
+                js.dump(m, open(p, "w"))
+
+    def test_age_guard_widens_retention(self, spark, table, tmp_path):
+        root = str(tmp_path / "lake")
+        # three more snapshots -> versions beyond keep_last=1
+        for e in (1, 2, 3):
+            src = spark.createDataFrame(
+                [(f"repo-{e}", "fresh.py", 1000 + e, False, "x")],
+                "repo string, path string, _lsn long, _tombstone boolean, content string",
+            )
+            table.merge(src, epoch_id=e)
+        versions = sorted(
+            int(n[1:-5]) for n in os.listdir(os.path.join(root, "manifests"))
+        )
+        # stamp strictly increasing commit times, then cut between the middle two
+        self._set_commit_ts(root, {v: (i + 1) * 1000 for i, v in enumerate(versions)})
+        cutoff = (len(versions) - 1) * 1000  # second-newest's timestamp
+        out = table.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+        left = sorted(
+            int(n[1:-5]) for n in os.listdir(os.path.join(root, "manifests"))
+        )
+        # newest (keep_last) + every manifest with ts >= cutoff survive
+        assert left == versions[-2:]
+        assert out["manifests_removed"] == len(versions) - 2
+        # a far-future cutoff degrades to pure keep_last
+        out2 = table.expire_snapshots(
+            keep_last=1, older_than_ms=10 ** 15
+        )
+        left2 = sorted(
+            int(n[1:-5]) for n in os.listdir(os.path.join(root, "manifests"))
+        )
+        assert left2 == versions[-1:]
+        assert out2["manifests_removed"] == 1
+        assert table.read().count() > 0
+
+
+class TestMultiStreamFanIn:
+    def test_independent_epoch_guards(self, spark, tmp_path):
+        """Two source streams (topic fan-in) into ONE table: each stream_id
+        keeps its own epoch ledger, so a replayed epoch of stream A skips
+        without blocking stream B, and lineage stays per stream."""
+        root = str(tmp_path / "fanin")
+        t = LakeTable.create(spark, root, key_columns=["repo", "path"], num_buckets=8)
+
+        def src(prefix, lsn, content):
+            return spark.createDataFrame(
+                [(f"{prefix}/r", "f.py", lsn, False, content)],
+                "repo string, path string, _lsn long, _tombstone boolean, content string",
+            )
+
+        a0 = t.merge(src("a", 1, "a-v1"), epoch_id=0, stream_id="topic_a")
+        b0 = t.merge(src("b", 1, "b-v1"), epoch_id=0, stream_id="topic_b")
+        a1 = t.merge(src("a", 2, "a-v2"), epoch_id=1, stream_id="topic_a")
+        assert not a0.skipped and not b0.skipped and not a1.skipped
+
+        # replaying A's epoch 1 skips; B's NEXT epoch still applies
+        a1r = t.merge(src("a", 99, "bogus"), epoch_id=1, stream_id="topic_a")
+        b1 = t.merge(src("b", 2, "b-v2"), epoch_id=1, stream_id="topic_b")
+        assert a1r.skipped and not b1.skipped
+
+        assert t.last_epoch("topic_a") == 1
+        assert t.last_epoch("topic_b") == 1
+        state = {
+            (r["repo"], r["path"]): r["content"] for r in t.read().collect()
+        }
+        assert state == {("a/r", "f.py"): "a-v2", ("b/r", "f.py"): "b-v2"}
+        assert t.describe()["streams"] == {"topic_a": 1, "topic_b": 1}
+
+
+class TestOptimisticCommit:
+    def test_stale_commit_raises(self, spark, table):
+        from kafka_connect_plugins_spark.plans.lake_table import CommitConflictError
+
+        stale = dict(table.manifest())  # operation prepared against this head
+        # another writer advances the ref meanwhile
+        src = spark.createDataFrame(
+            [("repo-0", "new.py", 9000, False, "x")],
+            "repo string, path string, _lsn long, _tombstone boolean, content string",
+        )
+        table.merge(src, epoch_id=1)
+        head = table.manifest()["version"]
+        with pytest.raises(CommitConflictError, match="advanced"):
+            table._write_manifest({
+                **stale,
+                "version": table._next_version(),
+                "parent": int(stale["version"]),
+            })
+        # the winner's commit is intact
+        assert table.manifest()["version"] == head
+        assert table.read().filter(F.col("path") == "new.py").count() == 1
+
+    def test_sequential_ops_unaffected(self, spark, table):
+        # the guard only bites on a real race: a normal maintenance chain
+        # (merge -> update -> delete -> compact) commits cleanly
+        table.update_where(F.col("repo") == "repo-1", {"content": F.lit("u")})
+        table.delete_where(F.col("repo") == "repo-2")
+        assert table.read().filter(F.col("repo") == "repo-2").count() == 0
+
+
+class TestHistory:
+    def test_snapshot_log(self, spark, table):
+        table.update_where(F.col("repo") == "repo-1", {"content": F.lit("u")})
+        table.delete_where(F.col("repo") == "repo-2")
+        h = table.history()
+        assert [e["version"] for e in h] == sorted(
+            (e["version"] for e in h), reverse=True
+        )
+        ops = [e["summary"].get("op") for e in h]
+        assert ops[0] == "delete_where" and ops[1] == "update_where"
+        assert h[0]["parent"] == h[1]["version"]
+        assert all(
+            e["committed_at_ms"] is None or e["committed_at_ms"] > 0 for e in h
+        )
+
+
+class TestMergeInto:
+    @staticmethod
+    def _stage_marker(spark, table):
+        tomb = spark.createDataFrame(
+            [("repo-0", "f0.py", 10_000, True, None)],
+            "repo string, path string, _lsn long, _tombstone boolean, content string",
+        )
+        table.merge(tomb, epoch_id=1)
+
+    @staticmethod
+    def _source(spark):
+        # op is conditions-only (not a table column); content maps in
+        return spark.createDataFrame(
+            [
+                ("repo-0", "f0.py", "upsert", "resurrected"),   # insert over marker
+                ("repo-1", "f1.py", "upsert", "patched"),       # matched update
+                ("repo-2", "f2.py", "delete", None),            # matched delete
+                ("repo-9", "brand-new.py", "upsert", "fresh"),  # plain insert
+                ("repo-9", "ghost.py", "delete", None),         # not matched + delete op: no-op
+            ],
+            "repo string, path string, op string, content string",
+        )
+
+    def _run(self, spark, table):
+        return table.merge_into(
+            self._source(spark),
+            matched_update={"content": F.col("src.content")},
+            matched_update_condition=F.col("src.op") == "upsert",
+            matched_delete_condition=F.col("src.op") == "delete",
+            not_matched_condition=F.col("src.op") == "upsert",
+        )
+
+    def test_clause_semantics(self, spark, table):
+        self._stage_marker(spark, table)
+        assert table.read().count() == 399  # marker hides repo-0/f0.py
+        out = self._run(spark, table)
+        assert out["rows_updated"] == 1
+        assert out["rows_deleted"] == 1
+        assert out["rows_inserted"] == 2
+        state = {
+            (r["repo"], r["path"]): (r["content"], r["_lsn"])
+            for r in table.read().filter(
+                F.col("path").isin("f0.py", "f1.py", "f2.py", "brand-new.py")
+            ).collect()
+        }
+        # update keeps the row's _lsn; marker replacement adopts the marker's
+        assert state[("repo-1", "f1.py")] == ("patched", 1)
+        assert state[("repo-0", "f0.py")] == ("resurrected", 10_000)
+        assert state[("repo-9", "brand-new.py")] == ("fresh", 0)
+        assert ("repo-2", "f2.py") not in state
+        assert table.read().count() == 400  # 399 - 1 deleted + 2 inserted
+
+    def test_marker_shield_survives_insert(self, spark, table):
+        self._stage_marker(spark, table)
+        self._run(spark, table)
+        # a late at-least-once replay BELOW the marker's LSN must still lose
+        late = spark.createDataFrame(
+            [("repo-0", "f0.py", 5_000, False, "stale-replay")],
+            "repo string, path string, _lsn long, _tombstone boolean, content string",
+        )
+        table.merge(late, epoch_id=2)
+        row = table.read().filter(
+            (F.col("repo") == "repo-0") & (F.col("path") == "f0.py")
+        ).collect()[0]
+        assert row["content"] == "resurrected" and row["_lsn"] == 10_000
+
+    def test_only_dirty_buckets_rewritten(self, spark, table):
+        m0 = table.manifest()
+        out = self._run(spark, table)
+        m1 = table.manifest()
+        changed = [
+            b for b in set(m0["buckets"]) | set(m1["buckets"])
+            if m1["buckets"].get(b) != m0["buckets"].get(b)
+        ]
+        assert 1 <= len(changed) == out["buckets_rewritten"] < len(m0["buckets"])
+
+    def test_noop_commits_nothing(self, spark, table):
+        v0 = table.manifest()["version"]
+        out = table.merge_into(
+            self._source(spark).filter(F.col("path") == "ghost.py"),
+            matched_delete_condition=F.col("src.op") == "delete",
+            not_matched_condition=F.col("src.op") == "upsert",
+        )
+        assert out == {"op": "merge_into", "rows_updated": 0,
+                       "rows_deleted": 0, "rows_inserted": 0,
+                       "buckets_rewritten": 0}
+        assert table.manifest()["version"] == v0
+
+    def test_ambiguous_source_raises(self, spark, table):
+        dup = self._source(spark).unionAll(
+            self._source(spark).filter(F.col("path") == "f1.py")
+        )
+        with pytest.raises(ValueError, match="ambiguous"):
+            table.merge_into(dup, matched_update={"content": F.col("src.content")})
+
+    def test_forbidden_assignments_raise(self, spark, table):
+        with pytest.raises(ValueError, match="bookkeeping"):
+            table.merge_into(
+                self._source(spark), matched_update={"_lsn": F.lit(1)}
+            )
