@@ -931,6 +931,9 @@ def bench_replay(tmp: str, events_path: str) -> dict:
             "median_events_per_sec": round(statistics.median(rates)),
             "peak_events_per_sec": round(max(rates)),
             "epochs": [round(r) for r in rates],
+            # the criterion's "identical final state, sha256-verified":
+            # order-insensitive digest, invariant to cores/epoch split
+            "final_state_sha256": table.state_digest(),
         }
         spark.stop()
 
@@ -947,6 +950,10 @@ def bench_replay(tmp: str, events_path: str) -> dict:
         "high": {"cores": high_cores, **results[high_cores]},
         "scaling_efficiency_median": eff["median"],
         "scaling_efficiency_peak": eff["peak"],
+        "final_state_verified": (
+            results[low_cores]["final_state_sha256"]
+            == results[high_cores]["final_state_sha256"]
+        ),
     }
 
 

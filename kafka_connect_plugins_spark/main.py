@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="print the snapshot log (version, commit time, op "
                         "summary) along the current ref, newest first, then "
                         "exit — no scan")
+    p.add_argument("--state-digest", action="store_true",
+                   help="print the order-insensitive sha256 digest of the "
+                        "live table state (one map-only pass + a 3-number "
+                        "aggregate) and exit — two replays of the same log "
+                        "must print identical digests")
     p.add_argument("--describe", action="store_true",
                    help="print a metadata-only table report (snapshot, "
                         "schema, per-bucket rows + skew, pending deltas, "
@@ -225,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.remove_orphans
             or args.describe
             or args.history
+            or args.state_digest
             or args.bootstrap
             or args.create_branch
             or args.tag
@@ -319,6 +325,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.remove_orphans
         or args.describe
         or args.history
+        or args.state_digest
     ):
         from pyspark.sql import functions as F
 
@@ -375,6 +382,8 @@ def main(argv: list[str] | None = None) -> int:
             out["describe"] = table.describe()
         if args.history:
             out["history"] = table.history()
+        if args.state_digest:
+            out["state_digest"] = table.state_digest()
         print(json.dumps(out))
         return 0
 

@@ -468,3 +468,29 @@ class TestMergeInto:
             table.merge_into(
                 self._source(spark), matched_update={"_lsn": F.lit(1)}
             )
+
+
+class TestStateDigest:
+    def test_invariant_to_replay_shape(self, spark, table, tmp_path):
+        # same log, different epoch split and parallelism -> same digest
+        src = spark.range(400).select(
+            F.concat(F.lit("repo-"), (F.col("id") % 20).cast("string")).alias("repo"),
+            F.concat(F.lit("f"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+            F.col("id").alias("_lsn"),
+            F.lit(False).alias("_tombstone"),
+            F.concat(F.lit("content-"), F.col("id").cast("string")).alias("content"),
+        ).repartition(7)
+        other = LakeTable.create(
+            spark, str(tmp_path / "other"), key_columns=["repo", "path"],
+            num_buckets=4,  # different physical layout too
+        )
+        other.merge(src.filter(F.col("_lsn") < 123), epoch_id=0)
+        other.merge(src.filter(F.col("_lsn") >= 123), epoch_id=1)
+        assert other.state_digest() == table.state_digest()
+
+    def test_mutation_changes_and_time_travel_restores(self, spark, table):
+        v0 = table.manifest()["version"]
+        d0 = table.state_digest()
+        table.delete_where(F.col("repo") == "repo-3")
+        assert table.state_digest() != d0
+        assert table.state_digest(version=v0) == d0
