@@ -986,6 +986,33 @@ def q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replay-verification machinery, gated: order-insensitive sha256
+    digest components of the replayed lake table's LIVE state (the
+    criterion's "identical final state, sha256-verified" as one
+    aggregation). The oracle recomputes the LWW final state in SQL and
+    folds the SAME per-row sha256 (DuckDB's ``sha256`` + hex cast sums
+    reproduce Spark's ``sha2``/``conv`` byte for byte), so a single wrong,
+    missing, or duplicated row anywhere in the merge pipeline flips the
+    digest. ``value`` is excluded from the canon: float→string rendering
+    is engine-specific; every other column round-trips exactly.
+    """
+    from kafka_connect_plugins_spark.plans.lake_table import digest_components
+
+    table, _ = _pruned_tail_table(spark, sf_dir)
+    state = table.read().select(
+        F.col("user_id"),
+        F.col("_lsn").cast("long").alias("_lsn"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    return digest_components(state).select(
+        F.col("n"),
+        F.col("digest_a").cast("string").alias("digest_a"),
+        F.col("digest_b").cast("string").alias("digest_b"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
@@ -1463,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": q_cdc_incremental_agg,
         "cdc_compliance_erase": q_cdc_compliance_erase,
         "cdc_merge_into": q_cdc_merge_into,
+        "cdc_state_digest": q_cdc_state_digest,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -1770,6 +1798,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN live l ON l.user_id = s.user_id
             LEFT JOIN dead d ON d.user_id = s.user_id
             WHERE l.user_id IS NULL AND s.op = 'upsert'
+        """,
+        "cdc_state_digest": """
+            -- the oracle recomputes the LWW final state and folds the SAME
+            -- per-row sha256 (sorted columns: _lsn, event_type, props,
+            -- user_id; 0x1f field sep, 0x00 NULL sentinel) into the same
+            -- two 60-bit-half decimal sums — one wrong row anywhere in the
+            -- replay flips a digest
+            WITH fin AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id,
+                     event_id AS _lsn, event_type, props
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 AND event_type <> 'error'),
+            h AS (
+              SELECT sha256(concat_ws(chr(31),
+                       coalesce(CAST(_lsn AS VARCHAR), chr(0)),
+                       coalesce(event_type, chr(0)),
+                       coalesce(props, chr(0)),
+                       coalesce(user_id, chr(0)))) AS hh
+              FROM fin)
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(('0x' || substr(hh, 1, 15))::UBIGINT)
+                        AS VARCHAR) AS digest_a,
+                   CAST(SUM(('0x' || substr(hh, 16, 15))::UBIGINT)
+                        AS VARCHAR) AS digest_b
+            FROM h
         """,
         "cdc_incremental_agg": """
             -- the oracle recomputes the maintained view from the FINAL

@@ -115,6 +115,43 @@ class MergePrep:
     table_root: str                 # safety: prep is table-specific
 
 
+def digest_components(df: DataFrame) -> DataFrame:
+    """Order-insensitive digest components of a DataFrame's rows, as one
+    aggregated row ``(n, digest_a, digest_b)``.
+
+    Per row: sha256 over the canonical concat of every column (sorted by
+    name, cast to string, NULL distinguished from '' by a ``\\x00``
+    sentinel, fields joined on ``\\x1f``). The fold is addition of the
+    hash's two leading 60-bit halves in decimal(38,0) — exact, overflow-
+    free below ~10^20 rows, and invariant to row order, partitioning, and
+    task count. Reproducible in ANSI SQL (DuckDB:
+    ``('0x' || substr(sha256(...), 1, 15))::UBIGINT`` summed), which is
+    what lets the correctness gate check the verification machinery
+    itself. One map-only pass + a partial aggregate; no shuffle of row
+    data.
+    """
+    cols = sorted(df.columns)
+    canon = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in cols
+            ],
+        ),
+        256,
+    )
+    return df.select(canon.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(F.substring("__h", 1, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("digest_a"),
+        F.sum(
+            F.conv(F.substring("__h", 16, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("digest_b"),
+    )
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic commit lost the race: the ref advanced after this
     operation read its base snapshot. Re-read and retry (Iceberg's
@@ -2157,9 +2194,14 @@ class LakeTable:
             raise ValueError(f"merge_into: no such columns: {unknown}")
 
         src_payload = [c for c in source.columns if c not in keys]
+        # cast source keys to the TABLE's key types before hashing: xxhash64
+        # hashes int 7 and string '7' differently, so an uncast mismatch
+        # would route the key to the wrong bucket and silently duplicate it
+        key_types = {f_.name: f_.dataType for f_ in schema.fields}
+        kcast = [F.col(k).cast(key_types[k]) for k in keys]
         src = source.select(
-            *[F.col(k) for k in keys],
-            F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+            *[c.alias(k) for c, k in zip(kcast, keys)],
+            F.pmod(F.xxhash64(*kcast), F.lit(n_buckets))
             .cast("int")
             .alias(BUCKET_COL),
             F.struct(*[F.col(c) for c in src_payload]).alias("src"),
@@ -2344,27 +2386,11 @@ class LakeTable:
         import hashlib
 
         df = self.read(version=version, ref=ref)
-        cols = sorted(df.columns)
-        canon = F.sha2(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in cols
-                ],
-            ),
-            256,
+        row = digest_components(df).first()
+        token = (
+            f"{row['n']}-{row['digest_a']}-{row['digest_b']}-"
+            f"{','.join(sorted(df.columns))}"
         )
-        row = df.select(canon.alias("__h")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.conv(F.substring("__h", 1, 15), 16, 10).cast("decimal(38,0)")
-            ).alias("a"),
-            F.sum(
-                F.conv(F.substring("__h", 16, 15), 16, 10).cast("decimal(38,0)")
-            ).alias("b"),
-        ).first()
-        token = f"{row['n']}-{row['a']}-{row['b']}-{','.join(cols)}"
         return hashlib.sha256(token.encode()).hexdigest()
 
     def remove_orphans(self, grace_seconds: float = 86400.0) -> dict:

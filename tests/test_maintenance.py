@@ -494,3 +494,35 @@ class TestStateDigest:
         table.delete_where(F.col("repo") == "repo-3")
         assert table.state_digest() != d0
         assert table.state_digest(version=v0) == d0
+
+
+class TestMergeIntoKeyTypeCast:
+    """Source keys typed differently from the table's key columns must be
+    cast to the TABLE's types before bucket hashing: xxhash64(int 7),
+    xxhash64(long 7) and xxhash64('7') are three different hashes, so an
+    uncast source would route the key to the wrong bucket and insert a
+    silent duplicate instead of updating."""
+
+    def test_string_source_key_updates_long_key_table(self, spark, tmp_path):
+        t = LakeTable.create(
+            spark, str(tmp_path / "typed"), key_columns=["id"], num_buckets=8
+        )
+        base = spark.range(50).select(
+            F.col("id"),
+            F.col("id").alias("_lsn"),
+            F.lit(False).alias("_tombstone"),
+            F.lit("old").alias("content"),
+        )
+        t.merge(base, epoch_id=0)
+        src = spark.createDataFrame(
+            [("7", "new"), ("999", "fresh")], "id string, content string"
+        )
+        out = t.merge_into(
+            src,
+            matched_update={"content": F.col("src.content")},
+            not_matched_insert=True,
+        )
+        assert out["rows_updated"] == 1 and out["rows_inserted"] == 1
+        state = {r["id"]: r["content"] for r in t.read().collect()}
+        assert len(state) == 51          # no duplicate id=7
+        assert state[7] == "new" and state[999] == "fresh"
