@@ -61,6 +61,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (replaying events into a real bucketed table is the expensive half; the
 # pruned read under test is cheap). Keyed like _LSH_PAIRS_CACHE.
 _PRUNED_TABLE_CACHE: dict[tuple[str, str], tuple[str, int]] = {}
+_REPLICA_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _pruned_tail_table(spark: SparkSession, sf_dir: str):
@@ -1013,6 +1014,61 @@ def q_cdc_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replica_table(spark: SparkSession, sf_dir: str):
+    """CDF-replicate the pruned-tail lake table into a second table, in two
+    incremental syncs (v0→v1 manually, v1→head via replicate()) so the gate
+    exercises the resumable range arithmetic, not just a bulk copy."""
+    import tempfile
+
+    from kafka_connect_plugins_spark.plans import replication
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _REPLICA_CACHE.get(key)
+    if cached is not None:
+        return LakeTable.load(spark, cached)
+    source, _ = _pruned_tail_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kcp_replica_")
+    # different bucket count on purpose: replication is logical, the digest
+    # must be layout-blind
+    replica = replication.ensure_replica(spark, source, root, num_buckets=5)
+    sid = replication.replication_stream_id(source)
+    replica.merge(
+        replication.changes_to_merge_source(source.read_changes(0, 1)),
+        epoch_id=1,
+        stream_id=sid,
+    )
+    replication.replicate(source, replica)  # ships v1 → head incrementally
+    _REPLICA_CACHE[key] = root
+    return replica
+
+
+def q_cdc_replica_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDF replication, gated end-to-end: the pruned-tail table
+    is replicated into a second lake table (different bucket layout) via two
+    change-feed syncs — bootstrap range then incremental range — and the
+    REPLICA's live state digest is checked against the same DuckDB oracle
+    that recomputes the source's LWW final state. Any row the replication
+    lost, duplicated, resurrected past a delete, or mis-applied flips the
+    digest. Reference semantics: the fan-out consumer pattern of
+    /root/reference/README.md:113-151, one changelog feeding parallel
+    downstream stores that must converge to identical state."""
+    replica = _replica_table(spark, sf_dir)
+    state = replica.read().select(
+        F.col("user_id"),
+        F.col("_lsn").cast("long").alias("_lsn"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    from kafka_connect_plugins_spark.plans.lake_table import digest_components
+
+    return digest_components(state).select(
+        F.col("n"),
+        F.col("digest_a").cast("string").alias("digest_a"),
+        F.col("digest_b").cast("string").alias("digest_b"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
@@ -1491,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compliance_erase": q_cdc_compliance_erase,
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_state_digest": q_cdc_state_digest,
+        "cdc_replica_digest": q_cdc_replica_digest,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -1798,6 +1855,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN live l ON l.user_id = s.user_id
             LEFT JOIN dead d ON d.user_id = s.user_id
             WHERE l.user_id IS NULL AND s.op = 'upsert'
+        """,
+        # cdc_replica_digest shares the state-digest oracle verbatim: the
+        # replica must converge to the SOURCE's LWW final state, which the
+        # oracle recomputes from the raw events — so replication errors and
+        # merge errors are caught by the same digest
+        "cdc_replica_digest": """
+            WITH fin AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id,
+                     event_id AS _lsn, event_type, props
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 AND event_type <> 'error'),
+            h AS (
+              SELECT sha256(concat_ws(chr(31),
+                       coalesce(CAST(_lsn AS VARCHAR), chr(0)),
+                       coalesce(event_type, chr(0)),
+                       coalesce(props, chr(0)),
+                       coalesce(user_id, chr(0)))) AS hh
+              FROM fin)
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(('0x' || substr(hh, 1, 15))::UBIGINT)
+                        AS VARCHAR) AS digest_a,
+                   CAST(SUM(('0x' || substr(hh, 16, 15))::UBIGINT)
+                        AS VARCHAR) AS digest_b
+            FROM h
         """,
         "cdc_state_digest": """
             -- the oracle recomputes the LWW final state and folds the SAME

@@ -159,6 +159,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="WHEN NOT MATCHED AND <expr> THEN INSERT guard")
     p.add_argument("--no-insert", action="store_true",
                    help="disable the NOT MATCHED INSERT clause of --merge-into")
+    p.add_argument("--replicate-to", default=None, metavar="ROOT",
+                   help="maintenance: incrementally sync this table's change "
+                        "feed into the replica table at ROOT (created keyed "
+                        "like the source if missing), then exit; exactly-once "
+                        "via the replica's epoch ledger")
+    p.add_argument("--replica-buckets", type=int, default=None,
+                   help="bucket count for a NEWLY created replica "
+                        "(default: same as the source)")
+    p.add_argument("--verify-replica", action="store_true",
+                   help="after --replicate-to, compare source and replica "
+                        "state digests and report the result")
     p.add_argument("--remove-orphans", action="store_true",
                    help="maintenance: delete data dirs no manifest references "
                         "(crashed writes, expired WAP branches), then exit")
@@ -227,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.delete_where is not None
             or args.update_where is not None
             or args.merge_into is not None
+            or args.replicate_to is not None
             or args.remove_orphans
             or args.describe
             or args.history
@@ -322,6 +334,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.delete_where is not None
         or args.update_where is not None
         or args.merge_into is not None
+        or args.replicate_to is not None
         or args.remove_orphans
         or args.describe
         or args.history
@@ -330,6 +343,21 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql import functions as F
 
         out = {}
+        if args.replicate_to is not None:
+            from kafka_connect_plugins_spark.plans.replication import (
+                ensure_replica,
+                replicate,
+            )
+
+            replica = ensure_replica(
+                spark, table, args.replicate_to,
+                num_buckets=args.replica_buckets,
+            )
+            out["replicate"] = replicate(
+                table, replica,
+                mode=args.merge_mode,
+                verify=args.verify_replica,
+            )
         if args.compact:
             sort_by = args.compact_sort_by.split(",") if args.compact_sort_by else None
             out["compacted_buckets"] = table.compact(sort_by=sort_by)

@@ -429,3 +429,35 @@ def test_cli_merge_into_describe_history(spark, tmp_path):
     assert [e["version"] for e in hist] == sorted(
         (e["version"] for e in hist), reverse=True
     )
+
+
+@pytest.mark.slow
+def test_cli_replicate(spark, tmp_path):
+    """--replicate-to from a fresh driver process: bootstrap sync with
+    digest verification, then an idempotent re-run."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+
+    root = str(tmp_path / "src")
+    t = LakeTable.create(spark, root, key_columns=["id"], num_buckets=4)
+    t.merge(
+        spark.range(100).select(
+            F.col("id"), F.col("id").alias("_lsn"),
+            F.lit(False).alias("_tombstone"), F.lit("x").alias("c"),
+        ),
+        epoch_id=0,
+    )
+    rep = str(tmp_path / "rep")
+    out = json.loads(_run_cli(
+        "--table", root, "--replicate-to", rep, "--verify-replica",
+        "--replica-buckets", "2",
+        "--master", "local[4]", "--shuffle-partitions", "4",
+    ))["replicate"]
+    assert out["verified"] and out["rows_applied"] == 100
+    again = json.loads(_run_cli(
+        "--table", root, "--replicate-to", rep,
+        "--master", "local[4]", "--shuffle-partitions", "4",
+    ))["replicate"]
+    assert again["skipped"] and again["rows_applied"] == 0
+    assert LakeTable.load(spark, rep).manifest()["num_buckets"] == 2
