@@ -1014,6 +1014,30 @@ def q_cdc_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change data feed itself, gated: read_changes(v1, v2) with
+    preimages over the pruned-tail table must reproduce, row for row, the
+    classification a SQL consumer derives from the raw log — insert (not
+    live at v1, live at v2, postimage values), update (live at both, LSN
+    advanced, pre+post rows), delete (live at v1 only, PREIMAGE values —
+    the marker carries no payload). Bucket pruning and the carried-forward
+    no-op filter are exactly what this oracle exercises: a dropped change,
+    a phantom no-op, or preimage/postimage value mixups all surface as row
+    or hash mismatches. Reference semantics: the changelog the reference's
+    connectors consume, re-derived from the table (Delta CDF / Iceberg
+    changelog scan)."""
+    table, _ = _pruned_tail_table(spark, sf_dir)
+    ch = table.read_changes(1, 2, include_preimages=True)
+    return ch.select(
+        F.col("user_id"),
+        F.col("_lsn").cast("long").alias("_lsn"),
+        F.col("event_type"),
+        F.col("props"),
+        F.col("value"),
+        F.col("_change_type"),
+    )
+
+
 def _replica_table(spark: SparkSession, sf_dir: str):
     """CDF-replicate the pruned-tail lake table into a second table, in two
     incremental syncs (v0→v1 manually, v1→head via replicate()) so the gate
@@ -1548,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into": q_cdc_merge_into,
         "cdc_state_digest": q_cdc_state_digest,
         "cdc_replica_digest": q_cdc_replica_digest,
+        "cdc_changefeed": q_cdc_changefeed,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -1855,6 +1880,50 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN live l ON l.user_id = s.user_id
             LEFT JOIN dead d ON d.user_id = s.user_id
             WHERE l.user_id IS NULL AND s.op = 'upsert'
+        """,
+        "cdc_changefeed": """
+            -- re-derive the v1->v2 change feed from the raw log: era-1 LWW
+            -- state vs final LWW state, full-outer joined per user; inserts
+            -- and postimages carry final values, deletes and preimages the
+            -- era-1 values (the delete marker has no payload)
+            WITH w AS (
+              SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS w FROM events),
+            s1 AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS lsn,
+                     event_type, props, value,
+                     (event_type <> 'error') AS live
+              FROM (SELECT e.*, row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                    FROM events e, w WHERE event_id <= w.w)
+              WHERE rn = 1),
+            s2 AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS lsn,
+                     event_type, props, value,
+                     (event_type <> 'error') AS live
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1),
+            j AS (
+              SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+                     coalesce(s1.live, FALSE) AS l1,
+                     coalesce(s2.live, FALSE) AS l2,
+                     s1.lsn AS lsn1, s2.lsn AS lsn2,
+                     s1.event_type AS et1, s1.props AS p1, s1.value AS v1,
+                     s2.event_type AS et2, s2.props AS p2, s2.value AS v2
+              FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+            SELECT user_id, lsn2 AS _lsn, et2 AS event_type, p2 AS props,
+                   v2 AS value, 'insert' AS _change_type
+            FROM j WHERE NOT l1 AND l2
+            UNION ALL
+            SELECT user_id, lsn2, et2, p2, v2, 'update_postimage'
+            FROM j WHERE l1 AND l2 AND lsn1 <> lsn2
+            UNION ALL
+            SELECT user_id, lsn1, et1, p1, v1, 'update_preimage'
+            FROM j WHERE l1 AND l2 AND lsn1 <> lsn2
+            UNION ALL
+            SELECT user_id, lsn1, et1, p1, v1, 'delete'
+            FROM j WHERE l1 AND NOT l2
         """,
         # cdc_replica_digest shares the state-digest oracle verbatim: the
         # replica must converge to the SOURCE's LWW final state, which the
