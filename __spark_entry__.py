@@ -1175,6 +1175,26 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (32-token windows, 8-token overlap): the
+    splitter an embedding/training pipeline runs before long documents meet
+    a model. Map-only native Columns (sequence → transform → slice); the
+    oracle rebuilds every chunk with generate_series + list slicing."""
+    from kafka_connect_plugins_spark.functions.text import token_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(token_chunks(F.col("text"), chunk_tokens=32, overlap=8)).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic (the rule IS the spec; oracle encodes
     the same rule independently)."""
@@ -1577,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
         "token_stats": q_token_stats,
+        "doc_chunks": q_doc_chunks,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "redact_fields": q_redact_fields,
@@ -2021,6 +2042,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sim, 6) AS sim_r
             FROM s
             QUALIFY rank <= 10
+        """,
+        "doc_chunks": """
+            -- rebuild every 32-token / 8-overlap window: stride 24, chunk
+            -- count = max(ceil((n-8)/24), 1), final window = remainder
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+            base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+            idx AS (
+              SELECT doc_id, t, n, g.i
+              FROM base,
+                   UNNEST(generate_series(
+                       0,
+                       CAST(greatest(ceil((n - 8) / 24.0), 1) AS BIGINT) - 1
+                   )) AS g(i))
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_id,
+                   array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk,
+                   CAST(least(n - i*24, 32) AS INT) AS n_tokens
+            FROM idx
         """,
         "token_stats": """
             SELECT doc_id,

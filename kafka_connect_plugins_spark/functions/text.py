@@ -84,3 +84,47 @@ def quality_features(text: Column) -> dict[str, Column]:
             (n_chars - n + 1) / F.greatest(n, F.lit(1)).cast("double"), 4
         ),
     }
+
+
+def token_chunks(
+    text: Column, chunk_tokens: int = 64, overlap: int = 16
+) -> Column:
+    """Overlapping token-window chunks — the context-window splitter every
+    embedding / training pipeline runs before a model sees a long document.
+
+    Whitespace tokens slide in windows of ``chunk_tokens`` with ``overlap``
+    tokens carried between consecutive chunks (stride = chunk_tokens −
+    overlap); the final window is the remainder (never empty for non-blank
+    text, and short docs yield exactly one chunk). Returns
+    ``array<struct<chunk_id:int, chunk:string, n_tokens:int>>`` — explode it
+    to one row per chunk. Pure native Columns (sequence → transform →
+    slice → concat), map-only and whole-stage-codegen'd at any scale;
+    DuckDB reproduces it with generate_series + list slicing, which is what
+    the ``doc_chunks`` gate checks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"token_chunks: need 0 <= overlap ({overlap}) < chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    # chunk starts: 1, 1+stride, … while start <= max(n - overlap, 1) — the
+    # final window begins at the last start that still adds NEW tokens
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("chunk"),
+            F.least(n - i * stride, F.lit(chunk_tokens))
+            .cast("int")
+            .alias("n_tokens"),
+        ),
+    )

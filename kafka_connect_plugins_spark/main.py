@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="sort-order compaction: cluster each rewritten bucket "
                         "on these columns so row-group stats become disjoint "
                         "(range scans skip inside files)")
+    p.add_argument("--compact-zorder-by", default=None, metavar="COL[,COL...]",
+                   help="z-order compaction: re-cluster ALL buckets on the "
+                        "interleaved-bit Morton key of these columns so "
+                        "row-group stats tighten on every listed column at "
+                        "once (multi-dimensional skipping)")
     p.add_argument("--expire-keep", type=int, default=None,
                    help="maintenance: expire all but the newest N snapshots, then exit")
     p.add_argument("--expire-max-age-sec", type=float, default=None,
@@ -360,7 +365,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.compact:
             sort_by = args.compact_sort_by.split(",") if args.compact_sort_by else None
-            out["compacted_buckets"] = table.compact(sort_by=sort_by)
+            zorder = (
+                args.compact_zorder_by.split(",")
+                if args.compact_zorder_by else None
+            )
+            out["compacted_buckets"] = table.compact(
+                sort_by=sort_by, zorder_by=zorder
+            )
         if args.delete_where is not None:
             out["delete"] = table.delete_where(F.expr(args.delete_where))
         if args.update_where is not None:

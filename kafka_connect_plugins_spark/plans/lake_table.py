@@ -1602,10 +1602,64 @@ class LakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def _zorder_column(
+        self, df: DataFrame, zorder_by: list[str], bits: int
+    ) -> Column:
+        """Morton (Z-order) key over the given columns, scale-shaped.
+
+        Per column, ``2**bits - 1`` range boundaries come from an ordered,
+        capped distinct sample (works for every orderable type — strings
+        included — where quantile sketches only cover numerics; the collect
+        is bounded at 64k values however big the table is). Each row's
+        per-column rank is a single ``aggregate`` fold over the boundary
+        literal array (no 255-deep CASE cascade in codegen), and the ranks'
+        bits interleave into one long. NULLs rank lowest, matching the
+        null-first order ``sort_by`` would give. Delta OPTIMIZE ZORDER /
+        Iceberg z-order rewrite semantics; everything after the boundary
+        sample is map-only.
+        """
+        n_bound = (1 << bits) - 1
+
+        def rank_of(col: Column, bounds: list) -> Column:
+            return F.aggregate(
+                F.array(*[F.lit(b) for b in bounds]),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(col >= b, 1).otherwise(0).cast("long"),
+            )
+
+        ranks = []
+        for c in zorder_by:
+            vals = [
+                r[0]
+                for r in df.select(c).na.drop().distinct().orderBy(c)
+                .limit(65536).collect()
+            ]
+            if not vals:
+                ranks.append(F.lit(0).cast("long"))
+                continue
+            step = max(len(vals) / (n_bound + 1), 1e-9)
+            bounds = sorted({vals[min(int((i + 1) * step), len(vals) - 1)]
+                             for i in range(n_bound)})
+            ranks.append(rank_of(F.col(c), bounds))
+        return sum(
+            (
+                F.shiftleft(
+                    F.shiftright(rank, b).bitwiseAND(F.lit(1)),
+                    b * len(ranks) + i,
+                )
+                for i, rank in enumerate(ranks)
+                for b in range(bits)
+            ),
+            start=F.lit(0).cast("long"),
+        )
+
     def compact(
         self,
         buckets: list[int] | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> int:
         """Fold pending merge-on-read deltas into fresh base files.
 
@@ -1624,11 +1678,25 @@ class LakeTable:
         already narrowed to. Sorting is within-bucket only — one extra local
         sort per task, no extra shuffle — and is recorded in the manifest as
         ``sort_order`` for audit.
+
+        ``zorder_by`` is the multi-dimensional form (Delta OPTIMIZE ZORDER):
+        rows cluster on an interleaved-bit Morton key, so row-group stats
+        tighten on EVERY listed column at once — a lexicographic sort makes
+        the first column's stats disjoint and leaves the others full-range
+        per group. Because z-ordering is a re-cluster, not just delta
+        folding, it rewrites ALL data buckets (or the given subset), pending
+        deltas or not. Costs one bounded boundary-sample job per column up
+        front; the rewrite itself stays one local sort per task.
         """
+        if sort_by and zorder_by:
+            raise ValueError("compact: sort_by and zorder_by are exclusive")
         manifest = self.manifest()
         pending = manifest.get("deltas", {})
+        candidates = (
+            set(pending) | set(manifest["buckets"]) if zorder_by else set(pending)
+        )
         todo = sorted(
-            int(b) for b in pending if buckets is None or int(b) in set(buckets)
+            int(b) for b in candidates if buckets is None or int(b) in set(buckets)
         )
         if not todo:
             return 0
@@ -1636,7 +1704,11 @@ class LakeTable:
         new_version = self._next_version()
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
         clustered = folded.repartition(len(todo), F.col(BUCKET_COL))
-        if sort_by:
+        if zorder_by:
+            clustered = clustered.withColumn(
+                "__z", self._zorder_column(folded, zorder_by, zorder_bits)
+            ).sortWithinPartitions(BUCKET_COL, "__z").drop("__z")
+        elif sort_by:
             # BUCKET_COL leads the sort: hash repartition may co-locate two
             # buckets in one task, and partitionBy splits them back into
             # separate files — each must stay internally sorted
@@ -1671,6 +1743,7 @@ class LakeTable:
                     "committed_at_ms": int(time.time() * 1000),
                     "compacted_buckets": len(todo),
                     **({"sort_order": list(sort_by)} if sort_by else {}),
+                    **({"zorder": list(zorder_by)} if zorder_by else {}),
                 },
             }, out_dir)
         )

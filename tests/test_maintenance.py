@@ -526,3 +526,92 @@ class TestMergeIntoKeyTypeCast:
         state = {r["id"]: r["content"] for r in t.read().collect()}
         assert len(state) == 51          # no duplicate id=7
         assert state[7] == "new" and state[999] == "fresh"
+
+
+class TestZorderCompaction:
+    def _matched_groups(self, root, version, cols, hi):
+        """(matching, total) row groups whose [min,max] stats intersect the
+        box ``col <= hi`` per listed column (mins are >= 0 by construction,
+        so intersection reduces to min <= hi)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        vdir = os.path.join(root, "data", f"v{version}")
+        files = glob.glob(os.path.join(vdir, "_bucket=*", "*.parquet"))
+        assert files
+        tot = hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                tot += 1
+                stats = [md.row_group(rg).column(idx[c]).statistics for c in cols]
+                if all(s.min <= hi for s in stats):
+                    hit += 1
+        return hit, tot
+
+    def test_zorder_beats_lexicographic_on_the_second_dim(self, spark, tmp_path):
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        old_block = hconf.get("parquet.block.size")
+        hconf.setInt("parquet.block.size", 64 * 1024)
+        try:
+            root = str(tmp_path / "zlake")
+            t = LakeTable.create(spark, root, key_columns=["id"], num_buckets=2)
+            for e in range(2):  # defer mode leaves deltas for the sort pass
+                src = spark.range(e * 20_000, (e + 1) * 20_000).select(
+                    F.col("id"),
+                    F.col("id").alias("_lsn"),
+                    F.lit(False).alias("_tombstone"),
+                    F.pmod(F.xxhash64(F.col("id")), F.lit(1000)).alias("x"),
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(1000)).alias("y"),
+                )
+                t.merge(src, epoch_id=e, mode="defer")
+            d0 = t.state_digest()
+
+            assert t.compact(sort_by=["x"]) > 0
+            sort_hit, sort_tot = self._matched_groups(
+                root, t.manifest()["version"], ["x", "y"], 100
+            )
+            assert t.state_digest() == d0
+
+            # z-order is a re-cluster: it must rewrite even with NO deltas
+            assert t.manifest().get("deltas", {}) == {}
+            assert t.compact(zorder_by=["x", "y"]) > 0
+            m = t.manifest()
+            assert m["summary"]["zorder"] == ["x", "y"]
+            z_hit, z_tot = self._matched_groups(root, m["version"], ["x", "y"], 100)
+            assert t.state_digest() == d0
+
+            # enough row groups that skipping is observable, and the box
+            # predicate on (x, y) prunes strictly better than sort-by-x
+            # (whose y stats are full-range in every group)
+            assert z_tot >= 8 and sort_tot >= 8
+            assert z_hit / z_tot < sort_hit / sort_tot
+        finally:
+            if old_block is None:
+                hconf.unset("parquet.block.size")
+            else:
+                hconf.set("parquet.block.size", old_block)
+
+    def test_zorder_handles_strings_and_nulls(self, spark, tmp_path):
+        root = str(tmp_path / "zstr")
+        t = LakeTable.create(spark, root, key_columns=["id"], num_buckets=2)
+        src = spark.range(500).select(
+            F.col("id"),
+            F.col("id").alias("_lsn"),
+            F.lit(False).alias("_tombstone"),
+            F.when(F.col("id") % 7 != 0,
+                   F.concat(F.lit("w"), (F.col("id") % 40).cast("string"))
+                   ).alias("word"),
+            (F.col("id") % 13).alias("x"),
+        )
+        t.merge(src, epoch_id=0)
+        d0 = t.state_digest()
+        assert t.compact(zorder_by=["word", "x"]) > 0
+        assert t.state_digest() == d0
+        assert t.manifest()["summary"]["zorder"] == ["word", "x"]
+
+    def test_sort_and_zorder_are_exclusive(self, spark, table):
+        with pytest.raises(ValueError, match="exclusive"):
+            table.compact(sort_by=["_lsn"], zorder_by=["_lsn"])
