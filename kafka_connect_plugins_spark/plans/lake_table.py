@@ -184,6 +184,7 @@ class LakeTable:
         key_columns: list[str],
         num_buckets: int = 64,
         schema: T.StructType | None = None,
+        bloom_keys: bool = True,
     ) -> "LakeTable":
         if os.path.exists(os.path.join(root, "_CURRENT")):
             raise FileExistsError(f"table already exists at {root}")
@@ -196,6 +197,8 @@ class LakeTable:
             "num_buckets": int(num_buckets),
             "buckets": {},  # bucket id (str) -> data version (int)
             "epochs": {},  # stream id -> last committed epoch
+            # parquet bloom filters on key columns (see _bucket_writer)
+            "bloom_keys": bool(bloom_keys),
             "schema": json.loads(schema.json()) if schema is not None else None,
             "summary": {"created_at_ms": int(time.time() * 1000)},
         }
@@ -933,6 +936,28 @@ class LakeTable:
             return None, [], []
         return json.loads(T.StructType(fields).json()), added, widened
 
+    def _bucket_writer(self, df: DataFrame, manifest: dict):
+        """The one parquet writer every data path uses: bucket-partitioned,
+        with a parquet BLOOM FILTER on each key column.
+
+        Inside a bucket the key columns are hash-scattered, so row-group
+        min/max stats are near-useless for a point predicate (every group's
+        [min,max] spans the whole key space) — a bloom filter is what lets
+        :meth:`lookup` skip row groups after bucket pruning has done the
+        directory-level work. Key columns only: blooming the payload (the
+        wide content column) would bloat every file for a predicate shape
+        the engine never pushes. parquet-mr materializes the filter only
+        when a chunk falls back from dictionary encoding — low-cardinality
+        chunks already carry exact membership in the dictionary page, so
+        the bloom appears precisely where it pays: high-cardinality keys at
+        scale. Disable per table with ``create(..., bloom_keys=False)``.
+        """
+        w = df.write.partitionBy(BUCKET_COL).mode("overwrite")
+        if manifest.get("bloom_keys", True):
+            for k in manifest["key_columns"]:
+                w = w.option(f"parquet.bloom.filter.enabled#{k}", "true")
+        return w
+
     def _max_files_per_dirty_bucket(self, manifest: dict, dirty: list[int]) -> int:
         """Largest parquet-file count among the dirty buckets' current dirs.
 
@@ -1321,12 +1346,10 @@ class LakeTable:
                 new_version = self._next_version()
                 out_dir = os.path.join(self.root, "data", f"v{new_version}")
                 t_w = time.time()
-                (
-                    collapsed.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
-                    .write.partitionBy(BUCKET_COL)
-                    .mode("overwrite")
-                    .parquet(out_dir)
-                )
+                self._bucket_writer(
+                    collapsed.repartition(max(len(dirty), 1), F.col(BUCKET_COL)),
+                    manifest,
+                ).parquet(out_dir)
                 phases["write"] = round(time.time() - t_w, 3)
                 t_c = time.time()
                 written = {
@@ -1497,11 +1520,7 @@ class LakeTable:
             if compact:
                 live = live.repartition(max(len(dirty), 1), F.col(BUCKET_COL))
             t_w = time.time()
-            (
-                live.write.partitionBy(BUCKET_COL)
-                .mode("overwrite")
-                .parquet(out_dir)
-            )
+            self._bucket_writer(live, manifest).parquet(out_dir)
             phases["write"] = round(time.time() - t_w, 3)
         finally:
             # unpersist on every exit path -- a write/schema failure must
@@ -1713,12 +1732,7 @@ class LakeTable:
             # buckets in one task, and partitionBy splits them back into
             # separate files — each must stay internally sorted
             clustered = clustered.sortWithinPartitions(BUCKET_COL, *sort_by)
-        (
-            clustered
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        self._bucket_writer(clustered, manifest).parquet(out_dir)
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
@@ -1780,7 +1794,7 @@ class LakeTable:
         bmap: dict[str, int] = {}
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
         if df is not None:
-            (
+            self._bucket_writer(
                 df.drop(BUCKET_COL)
                 .withColumn(
                     BUCKET_COL,
@@ -1788,11 +1802,9 @@ class LakeTable:
                         F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)
                     ).cast("int"),
                 )
-                .repartition(n, F.col(BUCKET_COL))
-                .write.partitionBy(BUCKET_COL)
-                .mode("overwrite")
-                .parquet(out_dir)
-            )
+                .repartition(n, F.col(BUCKET_COL)),
+                manifest,
+            ).parquet(out_dir)
             bmap = {
                 name.split("=", 1)[1]: new_version
                 for name in os.listdir(out_dir)
@@ -1987,12 +1999,9 @@ class LakeTable:
         keep = self._read_buckets(manifest, dirty).filter(~is_purgeable)
         new_version = self._next_version()
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
-        (
-            keep.repartition(len(dirty), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        self._bucket_writer(
+            keep.repartition(len(dirty), F.col(BUCKET_COL)), manifest
+        ).parquet(out_dir)
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
@@ -2097,12 +2106,9 @@ class LakeTable:
             ])
         new_version = self._next_version()
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
-        (
-            out.repartition(len(dirty), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        self._bucket_writer(
+            out.repartition(len(dirty), F.col(BUCKET_COL)), manifest
+        ).parquet(out_dir)
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)
@@ -2392,12 +2398,9 @@ class LakeTable:
         )
         new_version = self._next_version()
         out_dir = os.path.join(self.root, "data", f"v{new_version}")
-        (
-            out.repartition(len(dirty), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        self._bucket_writer(
+            out.repartition(len(dirty), F.col(BUCKET_COL)), manifest
+        ).parquet(out_dir)
         written = {
             int(name.split("=", 1)[1])
             for name in os.listdir(out_dir)

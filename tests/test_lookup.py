@@ -5,6 +5,7 @@ keys hash to. `DataFrame.inputFiles()` exposes exactly which files the plan
 reads, so the pruning is asserted on the physical scan, not inferred.
 """
 
+import os
 import shutil
 
 import pytest
@@ -146,3 +147,84 @@ class TestRebucket:
 
         with _pt.raises(ValueError):
             table.rebucket(0)
+
+
+class TestKeyBloomFilters:
+    """Every data write attaches a parquet bloom filter to the KEY columns
+    (and only those): inside a bucket the keys are hash-scattered so
+    row-group min/max is useless for a point predicate — the bloom is what
+    lets lookup() skip row groups after bucket pruning."""
+
+    @staticmethod
+    def _bloom_columns(spark, root, version):
+        import glob
+
+        jvm = spark._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        seen = {}
+        for f in glob.glob(
+            os.path.join(root, "data", f"v{version}", "_bucket=*", "*.parquet")
+        ):
+            footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                conf, jvm.org.apache.hadoop.fs.Path(f)
+            )
+            for block in footer.getBlocks():
+                for col in block.getColumns():
+                    name = col.getPath().toDotString()
+                    has = col.getBloomFilterOffset() >= 0
+                    seen[name] = seen.get(name, False) or has
+        return seen
+
+    def test_blooms_on_keys_only_and_lookup_still_exact(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        # parquet-mr only materializes a bloom when a chunk is NOT fully
+        # dictionary-encoded (the dictionary is already exact membership) —
+        # that fallback is exactly the high-cardinality-key case blooms
+        # exist for, so force it here to observe the filters on test-sized
+        # data
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        old_dict = hconf.get("parquet.enable.dictionary")
+        hconf.set("parquet.enable.dictionary", "false")
+        try:
+            root = str(tmp_path / "bloomed")
+            t = LakeTable.create(
+                spark, root, key_columns=["repo", "path"], num_buckets=4
+            )
+            t.merge(
+                spark.range(300).select(
+                    F.concat(F.lit("r"), (F.col("id") % 6).cast("string")).alias("repo"),
+                    F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+                    F.col("id").alias("_lsn"),
+                    F.lit(False).alias("_tombstone"),
+                    F.lit("body").alias("content"),
+                ),
+                epoch_id=0,
+            )
+            seen = self._bloom_columns(spark, root, t.manifest()["version"])
+            assert seen["repo"] and seen["path"]
+            assert not seen["content"] and not seen["_lsn"]
+            row = t.lookup({"repo": "r1", "path": "f7"}).collect()
+            assert len(row) == 1 and row[0]["_lsn"] == 7
+        finally:
+            if old_dict is None:
+                hconf.unset("parquet.enable.dictionary")
+            else:
+                hconf.set("parquet.enable.dictionary", old_dict)
+
+    def test_bloom_opt_out(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "plain")
+        t = LakeTable.create(
+            spark, root, key_columns=["id"], num_buckets=2, bloom_keys=False
+        )
+        t.merge(
+            spark.range(50).select(
+                F.col("id"), F.col("id").alias("_lsn"),
+                F.lit(False).alias("_tombstone"), F.lit("x").alias("c"),
+            ),
+            epoch_id=0,
+        )
+        seen = self._bloom_columns(spark, root, t.manifest()["version"])
+        assert not seen["id"]
