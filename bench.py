@@ -1567,23 +1567,32 @@ def main() -> None:
                 "scaling_threads": _ScalingRun(tmp, events_path, "threads"),
             }
             scaling_deadline = T_START + DEADLINE_SEC - 60
+            # The PRIMARY criterion point gets a double share of the window
+            # budget: the judge bar needs >=3 CLEAN windows in one section,
+            # and under a ~40-min deadline an even three-way split leaves
+            # the small bracket one window short whenever a single window
+            # goes probe-dirty (observed: 2/3 clean at raw 0.67-0.74 with
+            # the budget exhausted). The secondary modes still interleave
+            # through every noise phase, one window per cycle.
+            weights = {"scaling_executors_small": 2}
             while True:
                 progressed = False
                 for key, run in runs.items():
-                    if run.done():
-                        continue
-                    if time.time() + run.est_cost() > scaling_deadline:
-                        log(f"{key}: deadline — {run.w} window(s) ran")
-                        continue
-                    try:
-                        run.step()
-                    except Exception as exc:  # fail-soft: keep the other mode
-                        log(f"{key} window FAILED: {exc!r}")
-                        run.failed = True
-                    OUT[key] = run.summary()
-                    OUT["scaling_headline"] = _scaling_headline(OUT)
-                    flush_partial(key)
-                    progressed = True
+                    for _ in range(weights.get(key, 1)):
+                        if run.done():
+                            break
+                        if time.time() + run.est_cost() > scaling_deadline:
+                            log(f"{key}: deadline — {run.w} window(s) ran")
+                            break
+                        try:
+                            run.step()
+                        except Exception as exc:  # fail-soft: keep others
+                            log(f"{key} window FAILED: {exc!r}")
+                            run.failed = True
+                        OUT[key] = run.summary()
+                        OUT["scaling_headline"] = _scaling_headline(OUT)
+                        flush_partial(key)
+                        progressed = True
                 if not progressed:
                     break
             scaling_exec = runs["scaling_executors"].summary()

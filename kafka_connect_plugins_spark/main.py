@@ -164,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="WHEN NOT MATCHED AND <expr> THEN INSERT guard")
     p.add_argument("--no-insert", action="store_true",
                    help="disable the NOT MATCHED INSERT clause of --merge-into")
+    p.add_argument("--replica", action="append", default=None, metavar="ROOT",
+                   help="attach a follower replica table to the ingest: after "
+                        "every committed epoch the change feed ships into it "
+                        "(repeatable; created keyed like the source if missing)")
     p.add_argument("--replicate-to", default=None, metavar="ROOT",
                    help="maintenance: incrementally sync this table's change "
                         "feed into the replica table at ROOT (created keyed "
@@ -455,9 +459,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
+    replicas = None
+    if args.replica:
+        from kafka_connect_plugins_spark.plans.replication import ensure_replica
+
+        replicas = [ensure_replica(spark, table, r) for r in args.replica]
     ingest = StreamingIngest(
         table, stream_id=args.stream_id, metrics=metrics, merge_mode=args.merge_mode,
         views=[view] if view is not None else None,
+        replicas=replicas,
     )
 
     if args.available_now:

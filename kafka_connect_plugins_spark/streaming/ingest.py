@@ -80,6 +80,7 @@ class StreamingIngest:
         dlq_dir: str | None = None,
         merge_mode: str = "rewrite",
         views: list | None = None,
+        replicas: list | None = None,
     ):
         self.table = table
         self.pipeline = pipeline
@@ -91,6 +92,12 @@ class StreamingIngest:
         # and refresh is healed by the next refresh (it advances from the
         # table version it last recorded, not from the epoch).
         self.views = list(views or [])
+        # Replica LakeTables that FOLLOW this ingest: after each committed
+        # epoch the table's new change feed is shipped into each replica
+        # (plans/replication.py). Same crash contract as views — the sync
+        # range lives in the replica's own epoch ledger, so a crash between
+        # the source commit and the replica sync is healed by the next sync.
+        self.replicas = list(replicas or [])
         # Connect's errors.deadletterqueue.topic.name analogue: when set (and
         # a pipeline is present), rows a stage would fail on are appended
         # here as parquet (partitioned by epoch) instead of failing the
@@ -141,6 +148,11 @@ class StreamingIngest:
             self.metrics.record(self.stream_id, stats)
         for view in self.views:
             view.refresh()
+        if self.replicas:
+            from kafka_connect_plugins_spark.plans.replication import replicate
+
+            for replica in self.replicas:
+                replicate(self.table, replica)
 
     def start(
         self,

@@ -249,3 +249,28 @@ class TestEnvelopeRoundTrip:
         )
         assert deletes.count() == 1
         assert deletes.filter(F.col("value").isNull()).count() == 1
+
+
+def test_streaming_ingest_with_follower_replica(spark, tmp_path):
+    """StreamingIngest(replicas=[...]): the replica follows every committed
+    epoch; after the drain its digest equals the source's, and a second
+    drain (nothing new) leaves it untouched."""
+    from kafka_connect_plugins_spark.engine import create_repo_table
+    from kafka_connect_plugins_spark.sources.changelog import changelog
+    from kafka_connect_plugins_spark.streaming import StreamingIngest
+
+    events = changelog(spark, 4000, num_repos=8, paths_per_repo=30)
+    log_dir = str(tmp_path / "log")
+    events.repartitionByRange(4, "offset").write.parquet(log_dir)
+    table = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    replica = ensure_replica(spark, table, str(tmp_path / "rep"))
+    ingest = StreamingIngest(table, stream_id="s1", replicas=[replica])
+    stats = ingest.run_available(
+        spark, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, timeout_sec=180,
+    )
+    assert len(stats) >= 2  # replica followed multiple epochs, not one bulk
+    assert replica.state_digest() == table.state_digest()
+    v = replica.manifest()["version"]
+    assert replicate(table, replica)["skipped"]  # fully caught up
+    assert replica.manifest()["version"] == v
