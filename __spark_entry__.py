@@ -1471,6 +1471,31 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate scrub (CCNet/RefinedWeb-style) at
+    32-token-chunk granularity: a chunk appearing in >= 2 distinct
+    documents is dropped everywhere and the survivors re-join in order
+    (``operators.neardup.drop_boilerplate_chunks``). One map-only explode,
+    one shuffle for the distinct-doc count, a broadcast anti-lookup of the
+    (small) hot set, one shuffle for reassembly."""
+    return neardup.drop_boilerplate_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, min_docs=2,
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate token /
+    bigram / trigram fractions (``functions.text.repetition_features``) —
+    the degenerate-text filters a training pipeline runs alongside the
+    quality features. Map-only native Columns."""
+    from kafka_connect_plugins_spark.functions.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, oracle-gated: per-key LSN
     high-watermark dedup (``applyInPandasWithState``,
@@ -1635,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -2063,6 +2090,67 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk,
                    CAST(least(n - i*24, 32) AS INT) AS n_tokens
             FROM idx
+        """,
+        "chunk_dedup_docs": """
+            -- CCNet-style boilerplate scrub: non-overlapping 32-token
+            -- chunks; a chunk hash in >= 2 DISTINCT docs drops everywhere;
+            -- survivors re-join in chunk order
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+            base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+            chunks AS (
+              SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+                     array_to_string(t[i*32 + 1 : i*32 + 32], ' ') AS chunk
+              FROM base,
+                   UNNEST(generate_series(
+                       0,
+                       CAST(greatest(ceil(n / 32.0), 1) AS BIGINT) - 1
+                   )) AS g(i)),
+            hashed AS (
+              SELECT doc_id, chunk_id, chunk,
+                     ('0x' || substr(sha256(chunk), 1, 15))::BIGINT AS chunk_hash
+              FROM chunks),
+            hot AS (
+              SELECT chunk_hash
+              FROM hashed GROUP BY chunk_hash
+              HAVING count(DISTINCT doc_id) >= 2),
+            flagged AS (
+              SELECT h.doc_id, h.chunk_id, h.chunk,
+                     (hot.chunk_hash IS NOT NULL) AS is_hot
+              FROM hashed h LEFT JOIN hot USING (chunk_hash))
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN NOT is_hot THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN NOT is_hot THEN chunk END,
+                                       ' ' ORDER BY chunk_id), '') AS cleaned_text
+            FROM flagged GROUP BY doc_id
+        """,
+        "repetition_stats": """
+            -- duplicate n-gram fractions, n = 1/2/3; 0.0 when too short
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, t,
+                     [array_to_string(t[i : i+1], ' ')
+                      FOR i IN generate_series(1, greatest(len(t) - 1, 0))] AS g2,
+                     [array_to_string(t[i : i+2], ' ')
+                      FOR i IN generate_series(1, greatest(len(t) - 2, 0))] AS g3
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN len(t) <= 0 THEN 0.0 ELSE
+                     round((len(t) - len(list_distinct(t)))::DOUBLE / len(t), 4)
+                   END AS dup_token_frac,
+                   CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
+                     round((len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2), 4)
+                   END AS dup_bigram_frac,
+                   CASE WHEN len(g3) <= 0 THEN 0.0 ELSE
+                     round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 4)
+                   END AS dup_trigram_frac
+            FROM grams
         """,
         "token_stats": """
             SELECT doc_id,

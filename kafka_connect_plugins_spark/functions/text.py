@@ -128,3 +128,46 @@ def token_chunks(
             .alias("n_tokens"),
         ),
     )
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings (empty array when the document
+    has fewer than ``n`` tokens). Native sequence → transform — map-only.
+
+    The short-doc guard must sit OUTSIDE the sequence: ``sequence(1, 0)``
+    is a DESCENDING ``[1, 0]`` in Spark, and the 0 would reach ``slice``
+    (which rejects start=0)."""
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate token n-grams (n = 1, 2, 3). A high duplicate fraction marks
+    degenerate generated/boilerplate text that the quality filters keep out
+    of a training corpus. All native Columns, map-only; mirrors in DuckDB
+    as list comprehensions over the token array (``repetition_stats`` gate).
+
+    Fractions are 0.0 for documents too short to form the n-gram.
+    """
+    toks = ws_tokens(text)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                (n - F.size(F.array_distinct(arr))) / n.cast("double"), 4
+            )
+        )
+
+    return {
+        "dup_token_frac": dup_frac(toks),
+        "dup_bigram_frac": dup_frac(ngrams(toks, 2)),
+        "dup_trigram_frac": dup_frac(ngrams(toks, 3)),
+    }

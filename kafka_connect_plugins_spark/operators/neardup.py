@@ -638,3 +638,81 @@ def dedup_clusters(
         F.col("cluster_id"),
         (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def drop_boilerplate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate removal at token-chunk granularity — the
+    CCNet / RefinedWeb "shared-paragraph" scrub adapted to documents without
+    line structure.
+
+    Each document splits into NON-overlapping ``chunk_tokens``-token windows
+    (``functions.text.token_chunks`` with overlap 0, so reassembly is exact);
+    a chunk whose sha256-derived 60-bit hash appears in at least ``min_docs``
+    DISTINCT documents is boilerplate and is dropped from every document
+    that carries it; survivors re-join in order as ``cleaned_text``.
+
+    Output: ``(id_col, n_chunks, n_kept, cleaned_text)`` for EVERY input
+    document (a fully-boilerplate document keeps the row with ``n_kept = 0``
+    and an empty string).
+
+    Scale shape: one map-only explode, one shuffle on ``chunk_hash`` for the
+    distinct-doc count, one shuffle on ``id_col`` for reassembly. The hot
+    set is broadcast to the anti-lookup — boilerplate is by construction a
+    SMALL set of chunks each appearing in MANY documents, so the broadcast
+    stays tiny even when the corpus does not; if an adversarial corpus blows
+    it past the broadcast limit, remove the hint and AQE falls back to a
+    shuffle join with the same semantics. A chunk repeated WITHIN one
+    document only is not boilerplate (the count is over distinct documents),
+    matching the cross-document definition.
+    """
+    from kafka_connect_plugins_spark.functions.text import stable_hash60, token_chunks
+
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(
+            token_chunks(F.col(text_col), chunk_tokens=chunk_tokens, overlap=0)
+        ).alias("c"),
+    ).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        stable_hash60(F.col("c.chunk")).alias("chunk_hash"),
+    )
+    hot = (
+        chunks.select("chunk_hash", id_col)
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("__bp_n_docs"))
+        .filter(F.col("__bp_n_docs") >= min_docs)
+        .select("chunk_hash", F.lit(True).alias("__bp_hot"))
+    )
+    flagged = chunks.join(F.broadcast(hot), "chunk_hash", "left")
+    kept = F.col("__bp_hot").isNull()
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("chunk_id"),
+                                F.col("chunk"),
+                                kept.alias("kept"),
+                            )
+                        )
+                    ),
+                    lambda x: x["kept"],
+                ),
+                lambda x: x["chunk"],
+            ),
+        ).alias("cleaned_text"),
+    )

@@ -177,3 +177,72 @@ class TestConnectedComponents:
         assert out[9] == (9, True)
         # b~c transitivity pulls 3 into cluster 1 even if (1,3) never paired
         assert out[3][0] == 1
+
+
+class TestDropBoilerplateChunks:
+    """CCNet-style cross-document chunk scrub (drop_boilerplate_chunks)."""
+
+    def _run(self, spark, docs, **kw):
+        from kafka_connect_plugins_spark.operators.neardup import (
+            drop_boilerplate_chunks,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = drop_boilerplate_chunks(df, "doc_id", "text", **kw)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_shared_chunk_dropped_everywhere_in_order(self, spark):
+        # chunk_tokens=4: doc 0 = [boiler][uniq0], doc 1 = [uniq1][boiler],
+        # doc 2 all-unique. The boiler chunk appears in 2 distinct docs.
+        boiler = "b1 b2 b3 b4"
+        by = self._run(
+            spark,
+            [
+                (0, f"{boiler} u01 u02 u03 u04"),
+                (1, f"u11 u12 u13 u14 {boiler}"),
+                (2, "u21 u22 u23 u24"),
+            ],
+            chunk_tokens=4,
+        )
+        assert by[0] == {
+            "doc_id": 0, "n_chunks": 2, "n_kept": 1,
+            "cleaned_text": "u01 u02 u03 u04",
+        }
+        assert by[1] == {
+            "doc_id": 1, "n_chunks": 2, "n_kept": 1,
+            "cleaned_text": "u11 u12 u13 u14",
+        }
+        assert by[2]["n_kept"] == 1
+        assert by[2]["cleaned_text"] == "u21 u22 u23 u24"
+
+    def test_fully_boilerplate_doc_keeps_row_with_empty_text(self, spark):
+        boiler = "b1 b2 b3 b4"
+        by = self._run(
+            spark,
+            [(0, boiler), (1, boiler), (2, f"x1 x2 x3 x4 {boiler}")],
+            chunk_tokens=4,
+        )
+        assert by[0] == {
+            "doc_id": 0, "n_chunks": 1, "n_kept": 0, "cleaned_text": "",
+        }
+        assert by[2]["cleaned_text"] == "x1 x2 x3 x4"
+
+    def test_within_doc_repeat_is_not_boilerplate(self, spark):
+        # the repeated chunk lives in ONE document only -> kept (the count
+        # is over distinct documents)
+        rep = "r1 r2 r3 r4"
+        by = self._run(
+            spark,
+            [(0, f"{rep} {rep}"), (1, "y1 y2 y3 y4")],
+            chunk_tokens=4,
+        )
+        assert by[0] == {
+            "doc_id": 0, "n_chunks": 2, "n_kept": 2,
+            "cleaned_text": f"{rep} {rep}",
+        }
+
+    def test_min_docs_threshold(self, spark):
+        boiler = "b1 b2 b3 b4"
+        docs = [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d") for i in range(3)]
+        by = self._run(spark, docs, chunk_tokens=4, min_docs=4)
+        assert all(v["n_kept"] == 2 for v in by.values())

@@ -61,3 +61,42 @@ def test_bad_overlap_raises(spark):
         token_chunks(F.col("text"), chunk_tokens=8, overlap=8)
     with pytest.raises(ValueError, match="overlap"):
         token_chunks(F.col("text"), chunk_tokens=8, overlap=-1)
+
+
+class TestRepetitionFeatures:
+    def _feats(self, spark, text):
+        from kafka_connect_plugins_spark.functions.text import repetition_features
+
+        feats = repetition_features(F.col("text"))
+        row = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(*[v.alias(k) for k, v in feats.items()])
+            .first()
+        )
+        return row.asDict()
+
+    def test_degenerate_repetition(self, spark):
+        # "a a a a": 4 tokens 1 distinct -> 0.75; bigrams ["a a"]x3 -> 2/3;
+        # trigrams ["a a a"]x2 -> 0.5
+        f = self._feats(spark, "a a a a")
+        assert f == {
+            "dup_token_frac": 0.75,
+            "dup_bigram_frac": 0.6667,
+            "dup_trigram_frac": 0.5,
+        }
+
+    def test_all_distinct_is_zero(self, spark):
+        f = self._feats(spark, "a b c d")
+        assert f == {
+            "dup_token_frac": 0.0,
+            "dup_bigram_frac": 0.0,
+            "dup_trigram_frac": 0.0,
+        }
+
+    def test_too_short_for_ngram_is_zero_not_null(self, spark):
+        f = self._feats(spark, "solo")
+        assert f == {
+            "dup_token_frac": 0.0,
+            "dup_bigram_frac": 0.0,
+            "dup_trigram_frac": 0.0,
+        }
