@@ -132,19 +132,30 @@ def token_chunks(
 
 def ngrams(toks: Column, n: int) -> Column:
     """Token n-grams as space-joined strings (empty array when the document
-    has fewer than ``n`` tokens). Native sequence → transform — map-only.
+    has fewer than ``n`` tokens). Map-only native Columns.
 
-    The short-doc guard must sit OUTSIDE the sequence: ``sequence(1, 0)``
-    is a DESCENDING ``[1, 0]`` in Spark, and the 0 would reach ``slice``
-    (which rejects start=0)."""
-    count = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(count >= 1, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    Built as a ``zip_with`` fold over n SHIFTED slices of the token array —
+    O(n·len) with one interpreted higher-order pass per level. The obvious
+    ``transform(sequence(1, count), i -> concat_ws(slice(toks, i, n)))``
+    is quadratic per evaluation AND gets re-evaluated once per reference
+    when Catalyst collapses projections (the minhash CollapseProject trap,
+    operators/neardup.py:70) — measured 31 s for the ``repetition_stats``
+    gate at sf0.1 vs sub-second for this shape. ``slice`` length must stay
+    >= 0 (``greatest``): Spark's ``sequence(1, 0)`` alternative is a
+    DESCENDING [1, 0], which feeds an invalid start=0 into ``slice``."""
+    if n < 1:
+        raise ValueError(f"ngrams: n must be >= 1, got {n}")
+    if n == 1:
+        return toks
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
 
 
 def repetition_features(text: Column) -> dict[str, Column]:
