@@ -1496,6 +1496,55 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
 
 
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs sharing any 8-token n-gram
+    with the held-out slice (doc_id % 50 == 0 stands in for the benchmark
+    suite; n=4 because the synthetic word-soup corpus has no longer exact
+    overlaps — a real pipeline runs n=8..13 via the same operator). Gram strings hash to longs map-side; the distinct eval-gram set
+    broadcasts, so the corpus side never shuffles before the per-doc count
+    (``operators.neardup.decontaminate_ngrams``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return neardup.decontaminate_ngrams(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        "doc_id",
+        "text",
+        n=4,
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + mask over documents. The synthetic corpus carries no
+    real PII, so every third document is deterministically seeded with an
+    email + phone both engines can construct from doc_id alone; detection
+    and masking then run on the seeded text (``functions.text.pii_features``
+    / ``scrub_pii``). Map-only native regex Columns."""
+    from kafka_connect_plugins_spark.functions.text import pii_features, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    email = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit("+1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact "), email, F.lit(" or call "), phone
+        ),
+    ).otherwise(F.col("text"))
+    feats = pii_features(seeded)
+    return docs.select(
+        "doc_id",
+        feats["n_emails"].alias("n_emails"),
+        feats["n_phones"].alias("n_phones"),
+        ((feats["n_emails"] + feats["n_phones"]) > 0).alias("has_pii"),
+        scrub_pii(seeded).alias("clean_text"),
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, oracle-gated: per-key LSN
     high-watermark dedup (``applyInPandasWithState``,
@@ -1662,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "chunk_dedup_docs": q_chunk_dedup_docs,
         "repetition_stats": q_repetition_stats,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2600,6 +2651,61 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events WHERE user_id % 25 = 0)
             WHERE rn = 1
+        """,
+        "decontaminate_ngrams": """
+            -- 4-token n-gram overlap vs the doc_id%50==0 eval slice; the
+            -- oracle joins on the gram STRING where Spark joins on its
+            -- 64-bit hash (collision-free at this scale, deterministic)
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(t) - 3, 0) + 1),
+                         i -> array_to_string(t[i : i + 3], ' '))) AS gs
+              FROM toks),
+            ex AS (
+              SELECT doc_id, len(gs)::BIGINT AS n_grams, g.gram
+              FROM grams, UNNEST(gs) AS g(gram)),
+            ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0)
+            SELECT doc_id,
+                   n_grams,
+                   count(*)::BIGINT AS n_contaminated,
+                   round(count(*) / n_grams, 4) AS contam_frac
+            FROM ex JOIN ev USING (gram)
+            WHERE doc_id % 50 <> 0
+            GROUP BY doc_id, n_grams
+        """,
+        "pii_scrub": """
+            -- seed every third doc with a constructible email+phone, then
+            -- detect and mask with the same regexes in the same order
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' contact user' || doc_id
+                               || '@example.com or call +1-555-'
+                               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          ELSE text END AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                       '\\+\\d{1,2}-\\d{3}-\\d{4}')) AS INT) AS n_phones,
+                   (len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(t,
+                        '\\+\\d{1,2}-\\d{3}-\\d{4}'))) > 0 AS has_pii,
+                   regexp_replace(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\+\\d{1,2}-\\d{3}-\\d{4}', '<PHONE>', 'g')
+                       AS clean_text
+            FROM seeded
         """,
     }
     # Same transitive closure, different Spark algorithm: the star

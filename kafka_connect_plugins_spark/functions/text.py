@@ -182,3 +182,30 @@ def repetition_features(text: Column) -> dict[str, Column]:
         "dup_bigram_frac": dup_frac(ngrams(toks, 2)),
         "dup_trigram_frac": dup_frac(ngrams(toks, 3)),
     }
+
+
+# PII span patterns — deliberately in the common subset of Java regex
+# (Spark) and RE2 (DuckDB, Go scrubbers): character classes, bounded
+# repetition, no backreferences/lookaround, so the oracle reproduces every
+# match decision bit-for-bit.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def pii_features(text: Column) -> dict[str, Column]:
+    """Detectable-PII span counts (emails, international phone numbers) —
+    the detection half of the scrub a training pipeline runs before text
+    reaches a model. Native Columns, map-only."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_PATTERN)).cast("int"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_PATTERN)).cast("int"),
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask every PII span with a typed placeholder. The email mask runs
+    FIRST so digit runs inside an address local-part are consumed by the
+    email rule, never half-masked by the phone rule; the oracle applies
+    the same order."""
+    masked = F.regexp_replace(text, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(masked, PII_PHONE_PATTERN, "<PHONE>")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_plugins_spark.functions.text import (
     hash_array60,
+    ngrams,
     shingles,
     ws_tokens,
 )
@@ -715,4 +716,71 @@ def drop_boilerplate_chunks(
                 lambda x: x["chunk"],
             ),
         ).alias("cleaned_text"),
+    )
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Eval-set n-gram decontamination — the test-set-overlap check a
+    training pipeline runs before a corpus touches a model (GPT-3
+    appendix-C / PaLM style): flag every training document that shares at
+    least one token ``n``-gram with the held-out eval corpus.
+
+    Scale shape: each side hashes its DISTINCT per-document n-grams to 64
+    bits map-side (``xxhash64``), so the join moves longs, never gram
+    strings. The eval side reduces to one distinct gram-hash set — in a
+    real pipeline that is a benchmark suite measured in megabytes against
+    a 100 TB corpus, so it broadcasts and the corpus never shuffles; pass
+    ``broadcast_eval=False`` when the eval corpus is itself large and a
+    shuffled hash join is the right plan.
+
+    Output: ``(id_col, n_grams, n_contaminated, contam_frac)`` for
+    contaminated training documents only (clean documents emit no row;
+    documents shorter than ``n`` tokens have no n-grams and cannot match).
+    """
+    if n < 1:
+        raise ValueError(f"decontaminate_ngrams: n must be >= 1, got {n}")
+
+    def doc_grams(col: F.Column) -> F.Column:
+        return F.array_distinct(ngrams(ws_tokens(col), n))
+
+    # explode_outer + isNotNull, not plain explode: InferFiltersFromGenerate
+    # would turn explode into a pushed-down `size(grams) > 0 AND
+    # isnotnull(grams)` filter, and CollapseProject inlines the n-level
+    # zip_with fold into BOTH conjuncts — a measured 3x re-evaluation of the
+    # gram construction per row (the minhash CollapseProject trap, above).
+    # The outer generate infers no filter; null grams drop on the cheap
+    # post-explode column instead.
+    ev = (
+        eval_set.select(F.explode_outer(doc_grams(F.col(text_col))).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = (
+        train.select(F.col(id_col), doc_grams(F.col(text_col)).alias("__grams"))
+        .select(
+            id_col,
+            F.size("__grams").cast("long").alias("n_grams"),
+            F.explode_outer("__grams").alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select(id_col, "n_grams", F.xxhash64("gram").alias("gh"))
+    )
+    hits = tr.join(ev, "gh").groupBy(id_col, "n_grams").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return hits.select(
+        id_col,
+        "n_grams",
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contam_frac"),
     )
