@@ -130,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintenance: drop delete markers below the ingest's "
                         "min per-partition applied-LSN watermark (from the "
                         "metrics log), then exit")
+    p.add_argument("--rename-column", default=None, metavar="OLD:NEW",
+                   help="maintenance: metadata-only column rename (no data "
+                        "rewrite; old snapshots keep the old name), then exit")
+    p.add_argument("--drop-column", default=None, metavar="NAME",
+                   help="maintenance: metadata-only column drop (old "
+                        "snapshots still read it; the physical name is "
+                        "retired so a re-add cannot resurrect values), "
+                        "then exit")
     p.add_argument("--rebucket", type=int, default=None, metavar="N",
                    help="maintenance: re-hash the table to N key buckets in "
                         "one atomic snapshot (full rewrite; time travel "
@@ -242,6 +250,8 @@ def main(argv: list[str] | None = None) -> int:
             or args.refresh_view
             or args.compact
             or args.rebucket is not None
+            or args.rename_column is not None
+            or args.drop_column is not None
             or args.expire_keep is not None
             or args.purge_below_watermark
             or args.delete_where is not None
@@ -340,6 +350,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.expire_keep is not None
         or args.purge_below_watermark
         or args.rebucket is not None
+        or args.rename_column is not None
+        or args.drop_column is not None
         or args.delete_where is not None
         or args.update_where is not None
         or args.merge_into is not None
@@ -409,6 +421,13 @@ def main(argv: list[str] | None = None) -> int:
             out["orphans"] = table.remove_orphans(grace_seconds=args.orphan_grace_sec)
         if args.rebucket is not None:
             out["rebucketed_buckets"] = table.rebucket(args.rebucket)
+        if args.rename_column is not None:
+            old, _, new = args.rename_column.partition(":")
+            if not old or not new:
+                p.error("--rename-column expects OLD:NEW")
+            out["renamed_version"] = table.rename_column(old, new)
+        if args.drop_column is not None:
+            out["dropped_version"] = table.drop_column(args.drop_column)
         if args.purge_below_watermark:
             metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
             out["purge"] = table.purge_below_watermark(metrics, args.stream_id)

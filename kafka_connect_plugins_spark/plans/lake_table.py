@@ -529,6 +529,11 @@ class LakeTable:
         """
         fstats = manifest.get("file_stats", {})
         deltas = manifest.get("deltas", {})
+        if manifest.get("column_mapping"):
+            # file stats are recorded under PHYSICAL names (read straight
+            # from parquet footers); callers prune on logical names
+            mapping = self._column_mapping(manifest)
+            prune = {mapping.get(c, c): b for c, b in prune.items()}
         keep = []
         for b in {*manifest["buckets"], *deltas}:
             pairs = []
@@ -598,6 +603,21 @@ class LakeTable:
         # Back-fill columns added (to THIS manifest's schema) after these
         # files were written — time-travel reads see their snapshot's schema.
         schema = self._table_schema(manifest)
+        if schema is not None and (
+            manifest.get("column_mapping") or manifest.get("retired_physical")
+        ):
+            # physical -> logical under column mapping: retired physicals
+            # (dropped columns still present in old files) are projected
+            # away FIRST so a re-added logical name can never collide with
+            # the dropped column's lingering physical twin
+            mapping = self._column_mapping(manifest)
+            keep_phys = {BUCKET_COL, *_RESERVED, *mapping.values()}
+            extra = [c for c in df.columns if c not in keep_phys]
+            if extra:
+                df = df.drop(*extra)
+            ren = {p: l for l, p in mapping.items() if p != l and p in df.columns}
+            if ren:
+                df = df.withColumnsRenamed(ren)
         if schema is not None:
             for f_ in schema.fields:
                 if f_.name not in df.columns:
@@ -803,7 +823,11 @@ class LakeTable:
         )
         if not changed:
             return empty
-        keys = m_from["key_columns"]
+        # key/output names are the TO snapshot's logical names; the old side
+        # is translated onto them through the stable physical identity, so
+        # the feed stays well-formed across renames (and columns dropped
+        # between the snapshots vanish from both sides)
+        keys = m_to["key_columns"]
         internal = T.StructType(
             [f_ for f_ in schema.fields]
             + [T.StructField(TOMBSTONE_COL, T.BooleanType(), True)]
@@ -813,6 +837,8 @@ class LakeTable:
             df = self._read_buckets(manifest, changed)
             if df is None:
                 df = self.spark.createDataFrame([], internal)
+            else:
+                df = self._translate_columns(df, manifest, m_to)
             if TOMBSTONE_COL not in df.columns:
                 df = df.withColumn(TOMBSTONE_COL, F.lit(False))
             for f_ in internal.fields:  # columns added after this snapshot
@@ -936,6 +962,193 @@ class LakeTable:
             return None, [], []
         return json.loads(T.StructType(fields).json()), added, widened
 
+    # ------------------------------------------------------------------
+    # column mapping: rename / drop as metadata-only commits
+    # ------------------------------------------------------------------
+    # Delta Lake's columnMapping=name mode (Iceberg gets the same property
+    # from parquet field-ids): every column has an immutable PHYSICAL name —
+    # what parquet files actually store — and a LOGICAL name readers see.
+    # Rename swaps the logical label on an unchanged physical column; drop
+    # removes the logical mapping and retires the physical name forever (so
+    # a later re-add of the same logical name can never resurrect old
+    # values). Neither touches a single data file. Tables that never
+    # rename/drop carry no mapping and behave byte-identically to before.
+
+    def _column_mapping(self, manifest: dict) -> dict[str, str]:
+        """``{logical: physical}`` for this snapshot's schema fields
+        (identity for fields with no explicit mapping entry)."""
+        schema = self._table_schema(manifest)
+        if schema is None:
+            return {}
+        cm = manifest.get("column_mapping") or {}
+        return {
+            f_.name: cm.get(f_.name, {}).get("physical", f_.name)
+            for f_ in schema.fields
+        }
+
+    def _materialized_mapping(self, manifest: dict) -> tuple[dict, int]:
+        """Full ``{logical: {"id", "physical"}}`` for the current schema,
+        materializing identity entries (id assignment is field-order,
+        matching Iceberg's initial field-id assignment) for a table that
+        has never renamed/dropped. Returns ``(mapping, next_free_id)``."""
+        schema = self._table_schema(manifest)
+        if schema is None:
+            raise SchemaEvolutionError("table has no schema yet")
+        cm = {k: dict(v) for k, v in (manifest.get("column_mapping") or {}).items()}
+        next_id = int(manifest.get("next_column_id", 1))
+        for f_ in schema.fields:
+            if f_.name not in cm:
+                cm[f_.name] = {"id": next_id, "physical": f_.name}
+                next_id += 1
+        return cm, next_id
+
+    def _mapping_after_add(self, manifest: dict, added: list[str]) -> dict | None:
+        """Manifest-key updates registering freshly added columns in the
+        mapping. ``None`` when the table is identity-mapped and can stay so
+        (physical == logical needs no entry). A retired physical name is
+        never reused: re-adding a dropped column allocates ``{name}_c{id}``
+        so old files' values stay invisible."""
+        if not manifest.get("column_mapping") and not manifest.get(
+            "retired_physical"
+        ):
+            return None
+        cm, next_id = self._materialized_mapping(manifest)
+        used = {e["physical"] for e in cm.values()}
+        retired = set(manifest.get("retired_physical", []))
+        for name in added:
+            if name in cm:
+                continue
+            phys = name if name not in used | retired else f"{name}_c{next_id}"
+            cm[name] = {"id": next_id, "physical": phys}
+            used.add(phys)
+            next_id += 1
+        return {"column_mapping": cm, "next_column_id": next_id}
+
+    def _translate_columns(
+        self, df: DataFrame, m_from: dict, m_to: dict
+    ) -> DataFrame:
+        """Rename ``df``'s ``m_from``-logical columns to ``m_to``'s logical
+        names through the stable physical identity; drop columns with no
+        ``m_to`` counterpart (dropped between the snapshots). Engine columns
+        (bucket/LSN/tombstone) pass through untouched."""
+        if not (m_from.get("column_mapping") or m_to.get("column_mapping")):
+            return df
+        f_map = self._column_mapping(m_from)
+        t_inv = {p: l for l, p in self._column_mapping(m_to).items()}
+        ren: dict[str, str] = {}
+        drop: list[str] = []
+        for c in df.columns:
+            if c in _RESERVED or c == BUCKET_COL:
+                continue
+            tgt = t_inv.get(f_map.get(c, c))
+            if tgt is None:
+                drop.append(c)
+            elif tgt != c:
+                ren[c] = tgt
+        if drop:
+            df = df.drop(*drop)
+        if ren:
+            df = df.withColumnsRenamed(ren)
+        return df
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (``ALTER TABLE RENAME COLUMN``).
+
+        No data file is read or written: the column keeps its id and
+        physical name; only the logical label in the new manifest changes.
+        Readers of EVERY snapshot see that snapshot's own names (time travel
+        across the rename shows the old name on the old side, Iceberg
+        semantics). Key columns may be renamed — bucketing hashes values,
+        not names. Note ``state_digest`` canonicalizes by sorted column
+        NAME, so a rename changes the table's digest even though no value
+        changed. Returns the committed version.
+        """
+        manifest = self.manifest()
+        schema = self._table_schema(manifest)
+        if schema is None:
+            raise SchemaEvolutionError("table has no schema yet")
+        names = [f_.name for f_ in schema.fields]
+        if old not in names:
+            raise KeyError(f"no column named {old!r} (have {names})")
+        if new in names:
+            raise SchemaEvolutionError(f"column {new!r} already exists")
+        if old in _RESERVED or new in _RESERVED or new == BUCKET_COL:
+            raise SchemaEvolutionError(
+                f"cannot rename engine columns or collide with {sorted(_RESERVED)}"
+            )
+        cm, next_id = self._materialized_mapping(manifest)
+        cm[new] = cm.pop(old)
+        fields = [
+            T.StructField(new, f_.dataType, f_.nullable, f_.metadata)
+            if f_.name == old
+            else f_
+            for f_ in schema.fields
+        ]
+        new_version = self._next_version()
+        self._write_manifest(
+            {
+                **manifest,
+                "version": new_version,
+                "parent": int(manifest["version"]),
+                "schema": json.loads(T.StructType(fields).json()),
+                "column_mapping": cm,
+                "next_column_id": next_id,
+                "key_columns": [
+                    new if k == old else k for k in manifest["key_columns"]
+                ],
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "renamed_column": {"from": old, "to": new},
+                },
+            }
+        )
+        return new_version
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop (``ALTER TABLE DROP COLUMN``).
+
+        Old files keep the physical column on disk (snapshots before the
+        drop still read it — and ``expire_snapshots`` + rewrites are what
+        eventually reclaim the bytes, exactly Iceberg's contract); current
+        readers project it away. The physical name is retired permanently:
+        a later re-add of the same logical name gets a fresh physical
+        column, so dropped values can never leak back. Key columns and
+        engine columns cannot be dropped. Returns the committed version.
+        """
+        manifest = self.manifest()
+        schema = self._table_schema(manifest)
+        if schema is None:
+            raise SchemaEvolutionError("table has no schema yet")
+        if name in manifest["key_columns"]:
+            raise SchemaEvolutionError(f"cannot drop key column {name!r}")
+        if name in _RESERVED or name == BUCKET_COL:
+            raise SchemaEvolutionError(f"cannot drop engine column {name!r}")
+        names = [f_.name for f_ in schema.fields]
+        if name not in names:
+            raise KeyError(f"no column named {name!r} (have {names})")
+        cm, next_id = self._materialized_mapping(manifest)
+        entry = cm.pop(name)
+        retired = list(manifest.get("retired_physical", []))
+        retired.append(entry["physical"])
+        fields = [f_ for f_ in schema.fields if f_.name != name]
+        new_version = self._next_version()
+        self._write_manifest(
+            {
+                **manifest,
+                "version": new_version,
+                "parent": int(manifest["version"]),
+                "schema": json.loads(T.StructType(fields).json()),
+                "column_mapping": cm,
+                "next_column_id": next_id,
+                "retired_physical": retired,
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "dropped_column": name,
+                },
+            }
+        )
+        return new_version
+
     def _bucket_writer(self, df: DataFrame, manifest: dict):
         """The one parquet writer every data path uses: bucket-partitioned,
         with a parquet BLOOM FILTER on each key column.
@@ -952,10 +1165,22 @@ class LakeTable:
         the bloom appears precisely where it pays: high-cardinality keys at
         scale. Disable per table with ``create(..., bloom_keys=False)``.
         """
+        cm = manifest.get("column_mapping") or {}
+        if cm:
+            # logical -> physical: files always store physical names, so a
+            # rename never needs a data rewrite (see rename_column)
+            ren = {
+                log: e["physical"]
+                for log, e in cm.items()
+                if e["physical"] != log and log in df.columns
+            }
+            if ren:
+                df = df.withColumnsRenamed(ren)
         w = df.write.partitionBy(BUCKET_COL).mode("overwrite")
         if manifest.get("bloom_keys", True):
             for k in manifest["key_columns"]:
-                w = w.option(f"parquet.bloom.filter.enabled#{k}", "true")
+                phys = cm.get(k, {}).get("physical", k)
+                w = w.option(f"parquet.bloom.filter.enabled#{phys}", "true")
         return w
 
     def _max_files_per_dirty_bucket(self, manifest: dict, dirty: list[int]) -> int:
@@ -1324,6 +1549,13 @@ class LakeTable:
         plan_b = prep.plan_b
         user_fields = prep.user_fields
         new_schema_json, added, widened = self._evolve_schema(manifest, prep.incoming)
+        # Register added columns in the column mapping (no-op for tables
+        # that never renamed/dropped): rebinding the local manifest here
+        # makes every _bucket_writer call below write the right physical
+        # names and every `{**manifest, ...}` commit carry the mapping.
+        mapping_updates = self._mapping_after_add(manifest, added)
+        if mapping_updates:
+            manifest = {**manifest, **mapping_updates}
         phases = {"stats": prep.stats_seconds}
         try:
             dirty = sorted(int(r[BUCKET_COL]) for r in bucket_counts)
@@ -1868,6 +2100,10 @@ class LakeTable:
                 "skew_max_over_median": round(counts[-1] / med, 3) if med else None,
             },
             "columns": [f_.name for f_ in schema.fields] if schema else [],
+            "column_mapping": {
+                log: dict(e) for log, e in (m.get("column_mapping") or {}).items()
+            } or None,
+            "retired_physical": list(m.get("retired_physical", [])) or None,
             "streams": dict(m.get("epochs", {})),
             "refs": self.refs(),
         }
