@@ -62,6 +62,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # pruned read under test is cheap). Keyed like _LSH_PAIRS_CACHE.
 _PRUNED_TABLE_CACHE: dict[tuple[str, str], tuple[str, int]] = {}
 _REPLICA_CACHE: dict[tuple[str, str], str] = {}
+_SCHEMA_EVO_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _pruned_tail_table(spark: SparkSession, sf_dir: str):
@@ -1093,6 +1094,74 @@ def q_cdc_replica_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_evo_table(spark: SparkSession, sf_dir: str):
+    """Replay the events log into a LakeTable with a schema-evolution storm
+    BETWEEN the two LSN eras: after era 0 the payload column ``event_type``
+    is renamed to ``kind`` and ``props`` is dropped (both metadata-only,
+    zero files rewritten); era 1 then arrives speaking the new name AND
+    re-adding a column called ``props``. Column-mapping semantics make the
+    final state exactly predictable from the raw log alone: ``kind``
+    surfaces era-0 values through the stable physical identity, while
+    ``props`` is NULL unless the LWW winner arrived in era 1 — the dropped
+    physical column is retired and can never resurrect (Delta columnMapping
+    / Iceberg field-id behavior, the evolution rules the north rule's
+    "schema-evolution rules" clause names)."""
+    import tempfile
+
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SCHEMA_EVO_CACHE.get(key)
+    if cached is not None:
+        return LakeTable.load(spark, cached)
+    env = _events_envelope(spark, sf_dir)
+    transformed = SoftDeleteToTombstone({"field": "deleted_at"}).apply(env)
+    src = transformed.select(
+        F.col("key").alias("user_id"),
+        F.col("offset").alias("_lsn"),
+        F.coalesce(F.col("value").isNull(), F.lit(False)).alias("_tombstone"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.props").alias("props"),
+    )
+    w = src.agg(F.floor(F.max("_lsn") / 2).cast("long")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="kcp_schema_evo_")
+    table = LakeTable.create(spark, root, key_columns=["user_id"], num_buckets=16)
+    table.merge(src.filter(F.col("_lsn") <= w), epoch_id=0)
+    table.rename_column("event_type", "kind")
+    table.drop_column("props")
+    table.merge(
+        src.filter(F.col("_lsn") > w).withColumnRenamed("event_type", "kind"),
+        epoch_id=1,
+    )
+    _SCHEMA_EVO_CACHE[key] = root
+    return table
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping schema evolution, gated end-to-end: rename + drop +
+    re-add land between two replay eras (see :func:`_schema_evo_table`) and
+    the final LIVE state digest must match an oracle that derives the same
+    state straight from the raw log — era-0 values visible under the new
+    name, dropped-column values gone for every winner that predates the
+    re-add. A rename that rewrote or lost data, a drop that leaked old
+    values back into the re-added column, or a merge that misbound the
+    physical columns all flip the digest."""
+    from kafka_connect_plugins_spark.plans.lake_table import digest_components
+
+    table = _schema_evo_table(spark, sf_dir)
+    state = table.read().select(
+        F.col("user_id"),
+        F.col("_lsn").cast("long").alias("_lsn"),
+        F.col("kind"),
+        F.col("props"),
+    )
+    return digest_components(state).select(
+        F.col("n"),
+        F.col("digest_a").cast("string").alias("digest_a"),
+        F.col("digest_b").cast("string").alias("digest_b"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
@@ -1667,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_state_digest": q_cdc_state_digest,
         "cdc_replica_digest": q_cdc_replica_digest,
         "cdc_changefeed": q_cdc_changefeed,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -2040,6 +2110,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT sha256(concat_ws(chr(31),
                        coalesce(CAST(_lsn AS VARCHAR), chr(0)),
                        coalesce(event_type, chr(0)),
+                       coalesce(props, chr(0)),
+                       coalesce(user_id, chr(0)))) AS hh
+              FROM fin)
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(('0x' || substr(hh, 1, 15))::UBIGINT)
+                        AS VARCHAR) AS digest_a,
+                   CAST(SUM(('0x' || substr(hh, 16, 15))::UBIGINT)
+                        AS VARCHAR) AS digest_b
+            FROM h
+        """,
+        "cdc_schema_evolution": """
+            -- rename event_type -> kind and drop+re-add props happen
+            -- BETWEEN the two replay eras (split at w = max lsn / 2):
+            -- column mapping makes the final state derivable from the raw
+            -- log alone — kind carries era-0 values through the stable
+            -- physical column, props survives ONLY for winners written
+            -- after the re-add (the dropped physical name is retired, so
+            -- old values can never resurrect). Same digest fold as
+            -- cdc_state_digest, sorted columns: _lsn, kind, props, user_id
+            WITH w AS (
+              SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS w
+              FROM events),
+            fin AS (
+              SELECT CAST(user_id AS VARCHAR) AS user_id,
+                     event_id AS _lsn,
+                     event_type AS kind,
+                     CASE WHEN event_id > (SELECT w FROM w)
+                          THEN props END AS props
+              FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 AND event_type <> 'error'),
+            h AS (
+              SELECT sha256(concat_ws(chr(31),
+                       coalesce(CAST(_lsn AS VARCHAR), chr(0)),
+                       coalesce(kind, chr(0)),
                        coalesce(props, chr(0)),
                        coalesce(user_id, chr(0)))) AS hh
               FROM fin)

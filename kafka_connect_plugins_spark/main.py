@@ -142,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintenance: re-hash the table to N key buckets in "
                         "one atomic snapshot (full rewrite; time travel "
                         "across it stays correct), then exit")
+    p.add_argument("--rollback", type=int, default=None, metavar="VERSION",
+                   help="maintenance: roll the table back to VERSION as a "
+                        "new commit (history preserved, no data rewritten; "
+                        "the epoch ledger reverts so undone epochs replay), "
+                        "then exit")
     p.add_argument("--delete-where", default=None, metavar="SQL_EXPR",
                    help="maintenance: copy-on-write predicate DELETE (e.g. "
                         "\"repo = 'acme/old'\"); rewrites only matching "
@@ -251,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
             or args.compact
             or args.rebucket is not None
             or args.rename_column is not None
+            or args.rollback is not None
             or args.drop_column is not None
             or args.expire_keep is not None
             or args.purge_below_watermark
@@ -351,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.purge_below_watermark
         or args.rebucket is not None
         or args.rename_column is not None
+        or args.rollback is not None
         or args.drop_column is not None
         or args.delete_where is not None
         or args.update_where is not None
@@ -428,6 +435,8 @@ def main(argv: list[str] | None = None) -> int:
             out["renamed_version"] = table.rename_column(old, new)
         if args.drop_column is not None:
             out["dropped_version"] = table.drop_column(args.drop_column)
+        if args.rollback is not None:
+            out["rollback_version"] = table.rollback(args.rollback)
         if args.purge_below_watermark:
             metrics = MetricsLog(args.metrics or f"{args.table}/_metrics/{args.stream_id}.jsonl")
             out["purge"] = table.purge_below_watermark(metrics, args.stream_id)

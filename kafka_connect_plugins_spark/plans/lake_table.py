@@ -392,6 +392,44 @@ class LakeTable:
             self._write_refs(refs)
         return head
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (Iceberg's
+        ``rollback_to_snapshot``): the head moves FORWARD to a snapshot
+        whose state equals the target, history is preserved (the undone
+        snapshots stay readable by version), and no data file is touched —
+        the new manifest simply references the target's files. The epoch
+        ledger reverts with the rest of the state, so epochs committed
+        after the target re-apply on replay instead of being skipped: the
+        exactly-once guard and rollback compose (un-apply then re-ingest).
+        The target must be an ancestor of this ref's head — rolling back
+        "to" an unrelated branch snapshot is refused. Returns the committed
+        version.
+        """
+        head_manifest = self.manifest()
+        head_v = int(head_manifest["version"])
+        version = int(version)
+        if version == head_v:
+            return head_v
+        if version not in self._ancestry(head_v):
+            raise ValueError(
+                f"v{version} is not an ancestor of {self.ref!r} head "
+                f"v{head_v}; cannot roll back across branches"
+            )
+        target = self.manifest(version)
+        new_version = self._next_version()
+        self._write_manifest(
+            {
+                **target,
+                "version": new_version,
+                "parent": head_v,
+                "summary": {
+                    "committed_at_ms": int(time.time() * 1000),
+                    "rolled_back_to": version,
+                },
+            }
+        )
+        return new_version
+
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------
