@@ -1162,6 +1162,147 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_debezium_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium wire-format ingestion, gated end-to-end: the events table is
+    rendered into Debezium JSON envelopes in-query (op c/u from the row
+    image, op d for soft-deleted rows with only the BEFORE key image —
+    exactly what a relational connector emits), parsed back through
+    ``debezium_to_merge_source`` (one ``from_json`` with the full envelope
+    schema, map-only), LWW-collapsed on ``source.lsn``, tombstones dropped.
+    The oracle derives the same final state from the raw table, so a parse
+    slip, a delete that kept its payload, or an LSN misread all surface as
+    row mismatches."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_plugins_spark.operators import LwwDedup
+    from kafka_connect_plugins_spark.sources.cdc_formats import (
+        debezium_to_merge_source,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    row = F.struct(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    key_only = F.struct(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    is_del = F.col("event_type") == "error"
+    line = F.to_json(
+        F.struct(
+            F.when(is_del, key_only).alias("before"),
+            F.when(~is_del, row).alias("after"),
+            F.struct(
+                F.col("event_id").alias("lsn"),
+                (F.lit(EPOCH0) + F.col("event_id")).alias("ts_ms"),
+                F.lit("appdb").alias("db"),
+                F.lit("events").alias("table"),
+            ).alias("source"),
+            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            (F.lit(EPOCH0) + F.col("event_id")).alias("ts_ms"),
+        )
+    )
+    row_type = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = debezium_to_merge_source(
+        ev.select(line.alias("value")), row_type, ["user_id"]
+    )
+    final = LwwDedup(
+        {"key.columns": "user_id", "lsn.column": "_lsn"}
+    ).apply(src)
+    return final.filter(~F.col("_tombstone")).select(
+        "user_id", F.col("_lsn").cast("long").alias("_lsn"), "event_type", "props"
+    )
+
+
+def q_mongo_changestream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo change-stream ingestion, gated end-to-end — the wire format the
+    reference's pipelines actually consume (its flatten fixtures are built
+    with the Mongo Kafka source's own classes,
+    ClickHouseFlattenTransformerTest.kt:3-8). Events render as extended-JSON
+    change-stream documents (replace with fullDocument, delete with
+    documentKey only), parse through ``mongo_changestream_to_merge_source``,
+    LWW-collapse on the packed BSON cluster timestamp ``t << 32 | i``, drop
+    tombstones; the oracle re-derives the state and the packed LSN
+    arithmetic from the raw table."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_plugins_spark.operators import LwwDedup
+    from kafka_connect_plugins_spark.sources.cdc_formats import (
+        mongo_changestream_to_merge_source,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    doc = F.struct(
+        F.col("user_id").cast("string").alias("_id"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    is_del = F.col("event_type") == "error"
+    line = F.to_json(
+        F.struct(
+            F.when(is_del, F.lit("delete")).otherwise(F.lit("replace"))
+            .alias("operationType"),
+            F.struct(F.col("user_id").cast("string").alias("_id"))
+            .alias("documentKey"),
+            F.when(~is_del, doc).alias("fullDocument"),
+            F.struct(
+                F.struct(
+                    F.col("event_id").alias("t"), F.lit(0).alias("i")
+                ).alias("$timestamp")
+            ).alias("clusterTime"),
+        )
+    )
+    doc_type = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = mongo_changestream_to_merge_source(
+        ev.select(line.alias("value")), doc_type
+    )
+    final = LwwDedup({"key.columns": "_id", "lsn.column": "_lsn"}).apply(src)
+    return final.filter(~F.col("_tombstone")).select(
+        F.col("_id").alias("user_id"),
+        F.col("_lsn").cast("long").alias("_lsn"),
+        "event_type",
+        "props",
+    )
+
+
+def q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-outbox routing (Debezium EventRouter semantics): each
+    outbox row re-addresses to its aggregate's topic via the
+    ``${routedByValue}`` template, key from ``aggregateid``, value = the
+    payload field passed through. One projection, no shuffle — routing is a
+    value computation; partition assignment remains ModifyPartition's job."""
+    from kafka_connect_plugins_spark.operators import OutboxEventRouter
+
+    orders = _t(spark, sf_dir, "orders")
+    env = orders.select(
+        F.lit("outbox").alias("topic"),
+        F.col("o_orderkey").cast("long").alias("offset"),
+        F.struct(
+            F.col("o_orderstatus").alias("aggregatetype"),
+            F.col("o_orderkey").alias("aggregateid"),
+            F.lit("OrderEvent").alias("type"),
+            F.concat(F.lit("order-"), F.col("o_orderkey")).alias("payload"),
+        ).alias("value"),
+    )
+    routed = OutboxEventRouter({}).apply(env)
+    return routed.select("topic", "key", "value")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
@@ -1737,6 +1878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replica_digest": q_cdc_replica_digest,
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_debezium_state": q_cdc_debezium_state,
+        "mongo_changestream_state": q_mongo_changestream_state,
+        "outbox_route": q_outbox_route,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "knn_cosine": q_knn_cosine,
@@ -2119,6 +2263,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(('0x' || substr(hh, 16, 15))::UBIGINT)
                         AS VARCHAR) AS digest_b
             FROM h
+        """,
+        "cdc_debezium_state": """
+            -- the Debezium round trip must land on the plain LWW final
+            -- state: winner per user by event_id (= source.lsn), deletes
+            -- (event_type 'error' -> op 'd') drop the key
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   event_id AS _lsn, event_type, props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "mongo_changestream_state": """
+            -- same final state, but the LSN is the packed BSON cluster
+            -- timestamp (t = event_id, i = 0): event_id * 2^32
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   event_id * 4294967296 AS _lsn, event_type, props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "outbox_route": """
+            SELECT 'outbox.event.' || o_orderstatus AS topic,
+                   CAST(o_orderkey AS VARCHAR) AS key,
+                   'order-' || CAST(o_orderkey AS VARCHAR) AS value
+            FROM orders
         """,
         "cdc_schema_evolution": """
             -- rename event_type -> kind and drop+re-add props happen

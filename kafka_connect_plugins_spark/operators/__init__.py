@@ -10,6 +10,7 @@ from kafka_connect_plugins_spark.operators.clickhouse_flatten import ClickHouseF
 from kafka_connect_plugins_spark.operators.json_to_hex import JsonToHex
 from kafka_connect_plugins_spark.operators.lww_dedup import LwwDedup
 from kafka_connect_plugins_spark.operators.modify_partition import ModifyPartition
+from kafka_connect_plugins_spark.operators.outbox_router import OutboxEventRouter
 from kafka_connect_plugins_spark.operators.redact import RedactFields
 from kafka_connect_plugins_spark.operators.redshift_flatten import RedshiftFlatten
 from kafka_connect_plugins_spark.operators.salted_repartition import SaltedRepartition
@@ -26,6 +27,7 @@ __all__ = [
     "JsonToHex",
     "LwwDedup",
     "ModifyPartition",
+    "OutboxEventRouter",
     "RedactFields",
     "RedshiftFlatten",
     "SaltedRepartition",
