@@ -73,6 +73,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=64, help="key buckets for a new table")
     p.add_argument("--trigger", default=None, help="processingTime trigger, e.g. '10s'")
     p.add_argument("--available-now", action="store_true", help="drain the log and stop")
+    p.add_argument("--wire-format", choices=("envelope", "debezium", "mongo"),
+                   default="envelope",
+                   help="change-log encoding: 'envelope' = the engine's "
+                        "parquet envelope log; 'debezium' / 'mongo' = a "
+                        "JSON-lines tail in that public CDC wire format "
+                        "(on Kafka: the topic's value bytes), parsed by "
+                        "sources/cdc_formats.py into the same ingest chain")
+    p.add_argument("--wire-schema",
+                   default="repo string, path string, commit string, "
+                           "lang string, content string",
+                   metavar="DDL",
+                   help="row schema DDL for --wire-format debezium/mongo "
+                        "(default: the BASELINE repo-content row)")
+    p.add_argument("--wire-keys", default="repo,path", metavar="COL[,COL...]",
+                   help="key columns inside the wire row (debezium only; "
+                        "mongo always keys on _id)")
     p.add_argument(
         "--pipelined", action="store_true",
         help="batch replay with the one-epoch stats/write pipeline "
@@ -498,8 +514,24 @@ def main(argv: list[str] | None = None) -> int:
         replicas=replicas,
     )
 
+    wire_stream = None
+    if args.wire_format != "envelope":
+        from pyspark.sql import types as T
+
+        from kafka_connect_plugins_spark.sources.cdc_formats import tail_wire_format
+
+        wire_stream = tail_wire_format(
+            spark,
+            args.events,
+            args.wire_format,
+            T.StructType.fromDDL(args.wire_schema),
+            [c.strip() for c in args.wire_keys.split(",") if c.strip()],
+        )
+
     if args.available_now:
-        stats = ingest.run_available(spark, args.events, args.checkpoint)
+        stats = ingest.run_available(
+            spark, args.events, args.checkpoint, stream=wire_stream
+        )
         summary = {
             "epochs": len(stats),
             "events": sum(s.source_rows for s in stats),
@@ -511,7 +543,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     query = ingest.start(
-        tail_changelog(spark, args.events),
+        wire_stream if wire_stream is not None else tail_changelog(spark, args.events),
         args.checkpoint,
         processing_time=args.trigger,
     )

@@ -27,8 +27,10 @@ from kafka_connect_plugins_spark.plans.lake_table import LSN_COL, TOMBSTONE_COL
 __all__ = [
     "debezium_envelope_schema",
     "debezium_to_merge_source",
+    "merge_source_to_envelope",
     "mongo_changestream_schema",
     "mongo_changestream_to_merge_source",
+    "tail_wire_format",
 ]
 
 
@@ -111,6 +113,70 @@ def debezium_to_merge_source(
         )
         return parsed.select(*cols)
     return parsed.filter(F.coalesce(valid, F.lit(False))).select(*cols)
+
+
+def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFrame:
+    """Lift merge-source rows (any adapter's output) into the engine's
+    change-event envelope, so the full ingest chain — SMT pipeline, DLQ,
+    ``foreachBatch`` MERGE — runs unchanged on a Debezium or Mongo tail.
+
+    Key columns concatenate into the envelope ``key`` (the composite-key
+    convention ``events_to_merge_source`` splits back apart); payload
+    columns pack into ``value``, null for tombstones (the envelope's
+    delete encoding); ``_lsn`` becomes ``offset``. ``partition`` is 0 —
+    a wire tail has no Kafka partition; per-partition lineage collapses
+    to one global watermark, which is exactly the stream's total order.
+    """
+    from kafka_connect_plugins_spark.engine import KEY_SEP
+
+    payload = [
+        c
+        for c in src.columns
+        if c not in {*key_columns, LSN_COL, TOMBSTONE_COL, "_corrupt_record"}
+    ]
+    value = F.when(
+        ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)),
+        F.struct(*[F.col(c) for c in payload]),
+    )
+    return src.select(
+        F.lit("cdc").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col(LSN_COL).cast("long").alias("offset"),
+        F.lit(None).cast("long").alias("timestamp"),
+        F.concat_ws(KEY_SEP, *[F.col(k).cast("string") for k in key_columns]).alias("key"),
+        F.lit(None).cast("map<string,string>").alias("headers"),
+        value.alias("value"),
+    )
+
+
+def tail_wire_format(
+    spark,
+    events_dir: str,
+    wire_format: str,
+    row_type: T.StructType,
+    key_columns: list[str],
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream a JSON-lines CDC tail in a public wire format as envelope rows.
+
+    ``readStream.text`` is the sandbox stand-in for the Kafka value stream
+    (on a cluster, swap in ``format("kafka")`` and the same adapters run on
+    ``CAST(value AS STRING)``). ``wire_format`` is ``"debezium"`` or
+    ``"mongo"``; for Mongo the key is always ``_id`` and ``key_columns`` is
+    ignored. Returns an UNBOUNDED DataFrame ready for
+    :meth:`StreamingIngest.start`.
+    """
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(events_dir)  # column: value string
+    if wire_format == "debezium":
+        src = debezium_to_merge_source(raw, row_type, key_columns)
+        return merge_source_to_envelope(src, key_columns)
+    if wire_format == "mongo":
+        src = mongo_changestream_to_merge_source(raw, row_type)
+        return merge_source_to_envelope(src, ["_id"])
+    raise ValueError(f"unknown wire format {wire_format!r} (debezium | mongo)")
 
 
 # BSON timestamps order change streams: (t seconds, i ordinal-within-second).

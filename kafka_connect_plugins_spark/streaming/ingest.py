@@ -189,9 +189,16 @@ class StreamingIngest:
         value_type: T.DataType = CHANGELOG_VALUE_TYPE,
         max_files_per_trigger: int | None = None,
         timeout_sec: float | None = None,
+        stream: DataFrame | None = None,
     ) -> list[MergeStats]:
-        """Drain the current log contents into the table; returns epoch stats."""
-        stream = tail_changelog(spark, events_dir, value_type, max_files_per_trigger)
+        """Drain the current log contents into the table; returns epoch stats.
+
+        Pass ``stream`` to drain a pre-built tail (e.g. a Debezium/Mongo
+        JSON-lines tail from :func:`sources.cdc_formats.tail_wire_format`)
+        instead of the default parquet envelope log.
+        """
+        if stream is None:
+            stream = tail_changelog(spark, events_dir, value_type, max_files_per_trigger)
         query = self.start(stream, checkpoint_dir, available_now=True)
         query.awaitTermination(timeout_sec)
         if query.isActive:
