@@ -1280,6 +1280,78 @@ def q_mongo_changestream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_tx_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-boundary atomicity: apply only whole source transactions.
+
+    The events log is rendered into Debezium envelopes carrying transaction
+    metadata (``provide.transaction.metadata`` shape; txn = event_id // 5,
+    contiguous in LSN exactly as WAL commit order makes them), parsed back
+    ``with_transaction=True``, and split by ``split_complete_transactions``
+    in tail-holdback mode: the stream-tail transaction is mid-flight, so
+    its rows defer to the next epoch. The final LWW state is derived from
+    the READY rows only — the oracle drops the same tail transaction in
+    SQL, so applying even one held row (or holding one committed row)
+    surfaces as a row mismatch. Plan shape: map-only render+parse, a
+    broadcast 1-row anti-join for the split, then the usual LWW shuffle.
+    """
+    from pyspark.sql import types as T
+
+    from kafka_connect_plugins_spark.operators import LwwDedup
+    from kafka_connect_plugins_spark.sources.cdc_formats import (
+        debezium_to_merge_source,
+        split_complete_transactions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    txn = F.concat(F.lit("tx"), F.floor(F.col("event_id") / 5).cast("string"))
+    row = F.struct(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    key_only = F.struct(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    is_del = F.col("event_type") == "error"
+    line = F.to_json(
+        F.struct(
+            F.when(is_del, key_only).alias("before"),
+            F.when(~is_del, row).alias("after"),
+            F.struct(
+                F.col("event_id").alias("lsn"),
+                (F.lit(EPOCH0) + F.col("event_id")).alias("ts_ms"),
+                F.lit("appdb").alias("db"),
+                F.lit("events").alias("table"),
+            ).alias("source"),
+            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            (F.lit(EPOCH0) + F.col("event_id")).alias("ts_ms"),
+            F.struct(
+                txn.alias("id"),
+                (F.col("event_id") % 5 + 1).alias("total_order"),
+                (F.col("event_id") % 5 + 1).alias("data_collection_order"),
+            ).alias("transaction"),
+        )
+    )
+    row_type = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = debezium_to_merge_source(
+        ev.select(line.alias("value")), row_type, ["user_id"],
+        with_transaction=True,
+    )
+    ready, _held = split_complete_transactions(src)
+    final = LwwDedup({"key.columns": "user_id", "lsn.column": "_lsn"}).apply(ready)
+    return final.filter(~F.col("_tombstone")).select(
+        "user_id", F.col("_lsn").cast("long").alias("_lsn"), "event_type", "props"
+    )
+
+
 def q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional-outbox routing (Debezium EventRouter semantics): each
     outbox row re-addresses to its aggregate's topic via the
@@ -1879,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed": q_cdc_changefeed,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_debezium_state": q_cdc_debezium_state,
+        "cdc_tx_atomic": q_cdc_tx_atomic,
         "mongo_changestream_state": q_mongo_changestream_state,
         "outbox_route": q_outbox_route,
         "dedup_exact": q_dedup_exact,
@@ -2273,6 +2346,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
                   FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_tx_atomic": """
+            -- whole-transaction apply: txn = event_id // 5 (contiguous in
+            -- LSN); the transaction owning the max-LSN row is mid-flight
+            -- and held back, LWW over the rest, deletes drop the key
+            WITH src AS (
+              SELECT user_id, event_id AS lsn, event_type, props,
+                     event_id // 5 AS txn
+              FROM events
+            ),
+            open_tx AS (SELECT txn FROM src ORDER BY lsn DESC LIMIT 1),
+            ready AS (
+              SELECT * FROM src
+              WHERE txn <> (SELECT txn FROM open_tx)
+            )
+            SELECT CAST(user_id AS VARCHAR) AS user_id, lsn AS _lsn,
+                   event_type, props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY lsn DESC) AS rn
+                  FROM ready)
             WHERE rn = 1 AND event_type <> 'error'
         """,
         "mongo_changestream_state": """

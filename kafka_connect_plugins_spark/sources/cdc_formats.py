@@ -25,13 +25,19 @@ from pyspark.sql import types as T
 from kafka_connect_plugins_spark.plans.lake_table import LSN_COL, TOMBSTONE_COL
 
 __all__ = [
+    "TX_ID_COL",
+    "TX_ORDER_COL",
     "debezium_envelope_schema",
     "debezium_to_merge_source",
     "merge_source_to_envelope",
     "mongo_changestream_schema",
     "mongo_changestream_to_merge_source",
+    "split_complete_transactions",
     "tail_wire_format",
 ]
+
+TX_ID_COL = "_tx_id"
+TX_ORDER_COL = "_tx_order"
 
 
 def debezium_envelope_schema(row_type: T.StructType) -> T.StructType:
@@ -39,7 +45,10 @@ def debezium_envelope_schema(row_type: T.StructType) -> T.StructType:
     ``row_type``: ``before``/``after`` carry full row images, ``op`` is
     c(reate)/u(pdate)/d(elete)/r(ead, snapshot), ``source.lsn`` is the
     WAL/binlog position (the monotonic commit-LSN the engine orders on),
-    ``ts_ms`` the connector-side wall clock fallback."""
+    ``ts_ms`` the connector-side wall clock fallback. The ``transaction``
+    block is Debezium's ``provide.transaction.metadata=true`` shape
+    (``{id, total_order, data_collection_order}``); connectors that don't
+    emit it parse to null — ``from_json`` tolerates absent keys."""
     return T.StructType(
         [
             T.StructField("before", row_type, True),
@@ -58,6 +67,17 @@ def debezium_envelope_schema(row_type: T.StructType) -> T.StructType:
             ),
             T.StructField("op", T.StringType(), True),
             T.StructField("ts_ms", T.LongType(), True),
+            T.StructField(
+                "transaction",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType(), True),
+                        T.StructField("total_order", T.LongType(), True),
+                        T.StructField("data_collection_order", T.LongType(), True),
+                    ]
+                ),
+                True,
+            ),
         ]
     )
 
@@ -68,6 +88,7 @@ def debezium_to_merge_source(
     key_columns: list[str],
     json_col: str = "value",
     keep_corrupt: bool = False,
+    with_transaction: bool = False,
 ) -> DataFrame:
     """Parse a raw Debezium-JSON string column into merge-source rows.
 
@@ -79,6 +100,11 @@ def debezium_to_merge_source(
     parse (or with an unknown ``op``) are dropped, or kept under
     ``_corrupt_record`` with every other column null when
     ``keep_corrupt=True`` (dead-letter contract).
+
+    ``with_transaction=True`` additionally surfaces Debezium's transaction
+    metadata as ``_tx_id`` / ``_tx_order`` — feed the result through
+    :func:`split_complete_transactions` to apply only whole source
+    transactions per epoch.
     """
     missing = [k for k in key_columns if k not in row_type.fieldNames()]
     if missing:
@@ -106,6 +132,9 @@ def debezium_to_merge_source(
         F.coalesce(F.col("__env.source.lsn"), F.col("__env.ts_ms")).alias(LSN_COL)
     )
     cols.append(is_delete.alias(TOMBSTONE_COL))
+    if with_transaction:
+        cols.append(F.col("__env.transaction.id").alias(TX_ID_COL))
+        cols.append(F.col("__env.transaction.total_order").alias(TX_ORDER_COL))
     if keep_corrupt:
         cols.append(
             F.when(~F.coalesce(valid, F.lit(False)), F.col(json_col).cast("string"))
@@ -132,7 +161,15 @@ def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFram
     payload = [
         c
         for c in src.columns
-        if c not in {*key_columns, LSN_COL, TOMBSTONE_COL, "_corrupt_record"}
+        if c
+        not in {
+            *key_columns,
+            LSN_COL,
+            TOMBSTONE_COL,
+            TX_ID_COL,
+            TX_ORDER_COL,
+            "_corrupt_record",
+        }
     ]
     value = F.when(
         ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)),
@@ -147,6 +184,75 @@ def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFram
         F.lit(None).cast("map<string,string>").alias("headers"),
         value.alias("value"),
     )
+
+
+def split_complete_transactions(
+    src: DataFrame,
+    markers: DataFrame | None = None,
+    tx_col: str = TX_ID_COL,
+    lsn_col: str = LSN_COL,
+    marker_count_col: str = "event_count",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a merge source into ``(ready, held)`` at transaction boundaries.
+
+    CDC consumers that apply half a source transaction expose states the
+    database never had. Debezium's answer is transaction metadata: each data
+    event carries ``transaction.id`` and a separate transaction topic emits
+    END markers with per-transaction event counts
+    (``provide.transaction.metadata``; the engine's ``_tx_id`` comes from
+    :func:`debezium_to_merge_source` ``with_transaction=True``). This
+    operator defers the incomplete tail so an epoch's MERGE only ever
+    applies whole transactions:
+
+    - **Marker mode** (``markers`` given — columns ``(tx_col,
+      marker_count_col)`` from the transaction topic's END events): a
+      transaction is ready iff its observed row count equals the marker's
+      count. One count aggregate on ``tx_col`` (output is one row per
+      transaction — tiny next to the data) joined back semi/anti.
+    - **Tail-holdback mode** (no markers): the WAL serializes commits, so
+      in LSN order a transaction's events are contiguous and only the
+      stream-tail transaction can still be mid-flight. Held = the
+      transaction owning the max-LSN row; everything below it is committed.
+      A one-row aggregate, broadcast back — no data shuffle.
+
+    Rows with a null ``tx_col`` are non-transactional (autocommit) and are
+    always ready. ``held`` rows re-enter on the next epoch read: in
+    tail-holdback mode every held LSN exceeds every ready LSN, so the
+    ledger watermark ``max(ready._lsn)`` re-serves exactly the held rows.
+    """
+    tx = F.col(tx_col)
+    if markers is not None:
+        counts = (
+            src.filter(tx.isNotNull())
+            .groupBy(tx.alias("__tx"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        complete = (
+            counts.join(
+                markers.select(
+                    F.col(tx_col).alias("__tx"),
+                    F.col(marker_count_col).cast("long").alias("__expected"),
+                ),
+                "__tx",
+            )
+            .filter(F.col("__n") == F.col("__expected"))
+            .select("__tx")
+        )
+        ready = src.join(complete, tx == F.col("__tx"), "left_semi").unionByName(
+            src.filter(tx.isNull())
+        )
+        held = src.filter(tx.isNotNull()).join(
+            complete, tx == F.col("__tx"), "left_anti"
+        )
+        return ready, held
+    open_tx = (
+        src.agg(F.max_by(tx, F.col(lsn_col)).alias("__tx"))
+        .filter(F.col("__tx").isNotNull())
+    )
+    # null tx never equals __tx, so autocommit rows pass the anti-join
+    ready = src.join(F.broadcast(open_tx), tx == F.col("__tx"), "left_anti")
+    held = src.join(F.broadcast(open_tx), tx == F.col("__tx"), "left_semi")
+    return ready, held
 
 
 def tail_wire_format(

@@ -270,3 +270,87 @@ class TestWireTailIngest:
         )
         got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
         assert got == {("r", "a"): "A2"}
+
+
+class TestTransactionBoundaries:
+    def _src(self, spark):
+        # LSN-ordered tail: tx A complete (2 rows), autocommit row,
+        # tx B complete (1 row), tx C incomplete at the stream tail
+        rows = [
+            ("k1", 1, "A"), ("k2", 2, "A"),
+            ("k3", 3, None),
+            ("k4", 4, "B"),
+            ("k5", 5, "C"), ("k6", 6, "C"),
+        ]
+        return spark.createDataFrame(rows, "key string, _lsn long, _tx_id string")
+
+    def test_tail_holdback(self, spark):
+        from kafka_connect_plugins_spark.sources.cdc_formats import (
+            split_complete_transactions,
+        )
+
+        ready, held = split_complete_transactions(self._src(spark))
+        assert {r["key"] for r in ready.collect()} == {"k1", "k2", "k3", "k4"}
+        assert {r["key"] for r in held.collect()} == {"k5", "k6"}
+        # watermark re-serve invariant: every held LSN > every ready LSN
+        assert held.agg({"_lsn": "min"}).first()[0] > ready.agg({"_lsn": "max"}).first()[0]
+
+    def test_tail_holdback_autocommit_tail(self, spark):
+        from kafka_connect_plugins_spark.sources.cdc_formats import (
+            split_complete_transactions,
+        )
+
+        src = spark.createDataFrame(
+            [("k1", 1, "A"), ("k2", 2, None)],
+            "key string, _lsn long, _tx_id string",
+        )
+        ready, held = split_complete_transactions(src)
+        assert ready.count() == 2 and held.count() == 0
+
+    def test_marker_mode(self, spark):
+        from kafka_connect_plugins_spark.sources.cdc_formats import (
+            split_complete_transactions,
+        )
+
+        markers = spark.createDataFrame(
+            [("A", 2), ("B", 1), ("C", 3)], "_tx_id string, event_count int"
+        )
+        ready, held = split_complete_transactions(self._src(spark), markers=markers)
+        # C has 2 of 3 rows -> held even though B (complete) commits later
+        assert {r["key"] for r in ready.collect()} == {"k1", "k2", "k3", "k4"}
+        assert {r["key"] for r in held.collect()} == {"k5", "k6"}
+
+    def test_marker_mode_unmarked_tx_held(self, spark):
+        """A tx with no END marker yet is incomplete by definition."""
+        from kafka_connect_plugins_spark.sources.cdc_formats import (
+            split_complete_transactions,
+        )
+
+        markers = spark.createDataFrame([("A", 2)], "_tx_id string, event_count int")
+        ready, held = split_complete_transactions(self._src(spark), markers=markers)
+        assert {r["key"] for r in ready.collect()} == {"k1", "k2", "k3"}
+        assert {r["key"] for r in held.collect()} == {"k4", "k5", "k6"}
+
+    def test_debezium_with_transaction_columns(self, spark):
+        from kafka_connect_plugins_spark.sources.cdc_formats import (
+            debezium_to_merge_source,
+        )
+
+        line = json.dumps(
+            {
+                "after": {"repo": "r", "path": "a", "commit": "c1",
+                          "lang": "py", "content": "A"},
+                "source": {"lsn": 7, "ts_ms": 7, "db": "d", "table": "t"},
+                "op": "c", "ts_ms": 7,
+                "transaction": {"id": "txn-9", "total_order": 3,
+                                "data_collection_order": 1},
+            }
+        )
+        df = spark.createDataFrame([(line,)], "value string")
+        out = debezium_to_merge_source(
+            df, REPO_ROW, ["repo", "path"], with_transaction=True
+        ).first()
+        assert out["_tx_id"] == "txn-9" and out["_tx_order"] == 3
+        # without the flag the columns stay absent (back-compat)
+        cols = debezium_to_merge_source(df, REPO_ROW, ["repo", "path"]).columns
+        assert "_tx_id" not in cols
