@@ -132,6 +132,83 @@ def replay(
     return stats
 
 
+def replay_transactional(
+    table: LakeTable,
+    source: DataFrame,
+    events_per_epoch: int,
+    stream_id: str = "txreplay",
+    tx_col: str = "_tx_id",
+    lsn_col: str = "_lsn",
+    flush_tail: bool = True,
+) -> list[MergeStats]:
+    """Batch replay with **transaction-aligned epoch cuts**.
+
+    ``source`` is a merge source carrying Debezium transaction metadata
+    (``debezium_to_merge_source(..., with_transaction=True)``). Plain
+    LSN-range epochs can split a source transaction across two commits,
+    exposing table states the database never had; here every epoch's cut is
+    trimmed to the committed-transaction frontier
+    (:func:`sources.cdc_formats.split_complete_transactions`, tail-holdback
+    mode) and the watermark advances to ``max(ready lsn)`` — the held tail
+    transaction's rows all sit above it, so the next epoch's range re-serves
+    exactly them. Every committed snapshot is therefore
+    transaction-consistent, and the epoch sequence is deterministic for a
+    given (source, step), which keeps the exactly-once ledger skip working
+    on re-runs.
+
+    A transaction larger than ``events_per_epoch`` widens the range
+    (doubling) until at least one whole transaction fits. ``flush_tail``
+    applies the final tail transaction once the closed log is exhausted —
+    batch replay reads a finished log, so its tail IS committed; pass
+    ``False`` when replaying a snapshot of a still-live tail (the held rows
+    are simply not applied and a later run picks them up).
+
+    Driver-side cost: one tiny ``min/max`` aggregate up front and one
+    ``max`` per epoch (control plane, same order as the merge's own stats
+    collect). Data never moves through the driver.
+    """
+    from kafka_connect_plugins_spark.sources.cdc_formats import (
+        TX_ORDER_COL,
+        split_complete_transactions,
+    )
+
+    bounds = source.agg(
+        F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return []
+    log_max = bounds["hi"]
+    wm = bounds["lo"] - 1
+    data_cols = [c for c in source.columns if c not in (tx_col, TX_ORDER_COL)]
+    stats: list[MergeStats] = []
+    epoch, step = 0, events_per_epoch
+    while wm < log_max:
+        hi = wm + step
+        batch = source.filter((F.col(lsn_col) > wm) & (F.col(lsn_col) <= hi))
+        if hi >= log_max and flush_tail:
+            ready = batch  # closed log: the tail transaction has committed
+        else:
+            ready, _held = split_complete_transactions(
+                batch, tx_col=tx_col, lsn_col=lsn_col
+            )
+        new_wm = ready.agg(F.max(lsn_col)).first()[0]
+        if new_wm is None:
+            if hi >= log_max:
+                break  # open tail transaction and flush_tail=False
+            step *= 2  # one transaction spans the whole range — widen
+            continue
+        st = table.merge(
+            ready.select(*data_cols),
+            lsn_col=lsn_col,
+            epoch_id=epoch,
+            stream_id=stream_id,
+        )
+        stats.append(st)
+        wm, step = new_wm, events_per_epoch
+        epoch += 1
+    return stats
+
+
 def replay_pipelined(
     table: LakeTable,
     batches: list[DataFrame],
