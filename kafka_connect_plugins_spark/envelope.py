@@ -78,7 +78,15 @@ def header_column(df, key: str) -> Column:
     construction contract (:func:`header_list_to_map`).
     """
     if HEADER_LIST_COL in df.columns:
-        return last_with_name(F.col(HEADER_LIST_COL), key)
+        lst = last_with_name(F.col(HEADER_LIST_COL), key)
+        if "headers" not in df.columns:
+            return lst
+        # PER-ROW fallback: a mixed stream can carry list-less lines (the
+        # JSON source parses absent keys to NULL) whose map still has the
+        # header — the list is authoritative only where it exists.
+        return F.when(F.col(HEADER_LIST_COL).isNotNull(), lst).otherwise(
+            F.col("headers").getItem(key)
+        )
     return F.col("headers").getItem(key)
 
 

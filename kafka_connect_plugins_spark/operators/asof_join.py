@@ -170,13 +170,16 @@ def asof_join_bucketed(
     # previous buckets' payload across the gap). The partial agg collapses
     # each bucket map-side, so this shuffle moves ~one row per touched
     # (key, bucket); the window then runs over that TINY key×bucket table.
-    # max(struct) totally orders by (ts, tiebreak, payload) — ties beyond
-    # (ts, tiebreak) resolve by payload comparison, which is at least
-    # deterministic (the unbucketed path leaves such ties to sort order).
+    # max_by orders ONLY on (ts, tiebreak) — the payload stays out of the
+    # comparison, so unorderable payload columns (maps) work here exactly
+    # as they do in the unbucketed path; ties beyond (ts, tiebreak) are
+    # left to aggregation order on both paths. max_by skips rows whose
+    # ordering key is NULL, which is what the tag filter produces.
     per_bucket = unioned.groupBy("__k", "__b").agg(
-        F.max(
-            F.when(F.col("__tag") == 0, F.struct("__t", "__tb", "__payload"))
-        ).getField("__payload").alias("__last")
+        F.max_by(
+            F.col("__payload"),
+            F.when(F.col("__tag") == 0, F.struct("__t", "__tb")),
+        ).alias("__last")
     )
     wk = (
         Window.partitionBy("__k")

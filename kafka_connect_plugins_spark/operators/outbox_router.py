@@ -93,7 +93,12 @@ class OutboxEventRouter(Stage):
             key.alias("key"),
             payload.alias("value"),
         ]
+        # exclude every OUTPUT name, not just the configured source column:
+        # with value.column != "value", an existing "value" column would
+        # otherwise duplicate the routed payload's alias (ambiguous column)
         passthrough = [
-            c for c in df.columns if c not in ("topic", "key", self.value_column)
+            c
+            for c in df.columns
+            if c not in ("topic", "key", "value", self.value_column)
         ]
         return df.select(*out, *[F.col(c) for c in passthrough])

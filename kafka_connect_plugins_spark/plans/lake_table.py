@@ -1919,11 +1919,19 @@ class LakeTable:
 
         ranks = []
         for c in zorder_by:
-            vals = [
+            # A UNIFORM sample of the distinct values: ordering by the
+            # value's hash before the limit draws from the whole range
+            # (deterministically), where `orderBy(c).limit(n)` would take
+            # the n SMALLEST distincts — past 64k distincts that collapses
+            # every boundary into the low prefix and all higher rows share
+            # one rank, silently defeating the data-skipping. The collected
+            # sample is sorted driver-side (bounded at 64k values).
+            vals = sorted(
                 r[0]
-                for r in df.select(c).na.drop().distinct().orderBy(c)
+                for r in df.select(c).na.drop().distinct()
+                .orderBy(F.xxhash64(F.col(c)))
                 .limit(65536).collect()
-            ]
+            )
             if not vals:
                 ranks.append(F.lit(0).cast("long"))
                 continue
@@ -2355,7 +2363,10 @@ class LakeTable:
         current = self._read_buckets(manifest, None, prune=prune)
         if current is None:
             return {"op": op, "rows_matched": 0, "buckets_rewritten": 0}
-        live = condition
+        # Three-valued logic: a NULL predicate row must be treated as
+        # unmatched (kept by DELETE, untouched by UPDATE) — `filter(~NULL)`
+        # would silently DROP it from the rewrite, losing the row.
+        live = F.coalesce(condition, F.lit(False))
         if TOMBSTONE_COL in current.columns:
             # mutations address live rows only; delete markers are retention's
             # business (purge_tombstones), never a predicate DELETE/UPDATE's
@@ -2588,7 +2599,21 @@ class LakeTable:
         left = current.withColumn(
             BUCKET_COL, F.col(BUCKET_COL).cast("int")
         ).withColumn("__t", F.lit(True))
-        joined = left.join(src, on=keys + [BUCKET_COL], how="full_outer")
+        # NULL-SAFE key join: merge() and lookup() treat NULL key components
+        # as a legal key value (eqNullSafe / IS NOT DISTINCT FROM); a plain
+        # USING join here would never match them, carrying the stored
+        # NULL-key row AND inserting the source's — two rows for one key.
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & left[k].eqNullSafe(src[k])
+        cond = cond & (left[BUCKET_COL] == src[BUCKET_COL])
+        joined = left.join(src, cond, "full_outer").select(
+            F.coalesce(left[BUCKET_COL], src[BUCKET_COL]).alias(BUCKET_COL),
+            *[F.coalesce(left[k], src[k]).alias(k) for k in keys],
+            *[left[c] for c in cur_cols if c not in keys],
+            src["src"],
+            left["__t"],
+        )
 
         t_exists = F.coalesce(F.col("__t"), F.lit(False))
         s_exists = F.col("src").isNotNull()
@@ -2620,7 +2645,11 @@ class LakeTable:
             .when(t_exists, F.lit("C"))          # carry (incl. markers)
             .otherwise(F.lit("X"))               # unmatched source, no insert
         )
-        with_action = joined.withColumn("__a", action)
+        # persist: the action-count collect AND the write below consume this
+        # plan — uncached, the dirty-bucket read + full-outer join would run
+        # twice (doubling the dominant I/O), and a non-deterministic source
+        # could make the reported counts diverge from what was written
+        with_action = joined.withColumn("__a", action).persist()
         counts = {
             r["__a"]: int(r["n"])
             for r in with_action.groupBy("__a").agg(
@@ -2635,6 +2664,7 @@ class LakeTable:
             "buckets_rewritten": 0,
         }
         if not (counts.get("U") or counts.get("D") or counts.get("I")):
+            with_action.unpersist()
             return result
 
         def out_col(c: str) -> Column:
@@ -2709,6 +2739,7 @@ class LakeTable:
                 },
             }, out_dir)
         )
+        with_action.unpersist()
         result["buckets_rewritten"] = len(dirty)
         return result
 

@@ -175,12 +175,24 @@ def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFram
         ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)),
         F.struct(*[F.col(c) for c in payload]),
     )
+    # concat_ws SKIPS null components, so (NULL,'y') and ('y',NULL) would
+    # both serialize to 'y' — colliding distinct keys into one identity. A
+    # relational PK is NOT NULL, so NULL components are outside the wire
+    # contract; rather than corrupt, such rows carry a NULL envelope key
+    # (they merge under the explicit null identity, never under another's).
+    any_null = F.lit(False)
+    for k in key_columns:
+        any_null = any_null | F.col(k).isNull()
+    key = F.when(
+        ~any_null,
+        F.concat_ws(KEY_SEP, *[F.col(k).cast("string") for k in key_columns]),
+    )
     return src.select(
         F.lit("cdc").alias("topic"),
         F.lit(0).alias("partition"),
         F.col(LSN_COL).cast("long").alias("offset"),
         F.lit(None).cast("long").alias("timestamp"),
-        F.concat_ws(KEY_SEP, *[F.col(k).cast("string") for k in key_columns]).alias("key"),
+        key.alias("key"),
         F.lit(None).cast("map<string,string>").alias("headers"),
         value.alias("value"),
     )
@@ -235,7 +247,12 @@ def split_complete_transactions(
                 ),
                 "__tx",
             )
-            .filter(F.col("__n") == F.col("__expected"))
+            # >= not ==: Kafka redelivery is at-least-once, so a transaction
+            # whose epoch read contains a duplicated event has observed
+            # count expected+1; exact equality would hold it back FOREVER
+            # (silent loss). Overshoot is safe — the merge's LWW dedup
+            # collapses redelivered rows idempotently.
+            .filter(F.col("__n") >= F.col("__expected"))
             .select("__tx")
         )
         ready = src.join(complete, tx == F.col("__tx"), "left_semi").unionByName(

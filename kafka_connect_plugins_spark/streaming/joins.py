@@ -66,5 +66,12 @@ def stream_stream_interval_join(
         & (rw[r_time] <= F.expr(f"{left_time} + interval {upper}"))
     )
     joined = lw.join(rw, on=cond, how=how)
-    # drop the duplicated key columns from the right side
-    return joined.drop(*[rw[k] for k in keys])
+    # One key column per name, NULL-proof for outer joins: an unmatched
+    # right row under rightOuter carries its key only in rw[k] (lw[k] is
+    # NULL), so dropping the right copy would emit a keyless row — coalesce
+    # the two sides instead (equal whenever both matched).
+    return joined.select(
+        *[F.coalesce(lw[k], rw[k]).alias(k) for k in keys],
+        *[lw[c] for c in left.columns if c not in keys],
+        *[rw[c] for c in r.columns if c not in keys],
+    )
