@@ -139,15 +139,23 @@ def snapshot_diff(
             f"snapshot schemas differ: {sorted(old.columns)} vs {sorted(new.columns)}"
         )
     vals = [c for c in old.columns if c not in keys]
-    o = old.select(*[F.col(c).alias(f"o_{c}") for c in old.columns])
-    n = new.select(*[F.col(c).alias(f"n_{c}") for c in new.columns])
+    # explicit existence flags, NOT key non-nullness: the join condition is
+    # null-safe precisely because NULL key components are legal, so a
+    # NULL-keyed row must not read as "absent" on its own side (it would
+    # mis-classify as insert+delete instead of update/untouched)
+    o = old.select(
+        *[F.col(c).alias(f"o_{c}") for c in old.columns],
+        F.lit(True).alias("__o_exists"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"n_{c}") for c in new.columns],
+        F.lit(True).alias("__n_exists"),
+    )
     cond = [F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}")) for k in keys]
     joined = o.join(n, on=cond, how="full_outer")
 
-    from functools import reduce
-
-    o_live = reduce(lambda a, b: a | b, [F.col(f"o_{k}").isNotNull() for k in keys])
-    n_live = reduce(lambda a, b: a | b, [F.col(f"n_{k}").isNotNull() for k in keys])
+    o_live = F.coalesce(F.col("__o_exists"), F.lit(False))
+    n_live = F.coalesce(F.col("__n_exists"), F.lit(False))
     if lsn_col is not None:
         differs = ~F.col(f"o_{lsn_col}").eqNullSafe(F.col(f"n_{lsn_col}"))
     else:

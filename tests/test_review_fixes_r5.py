@@ -217,3 +217,20 @@ class TestZorderBoundarySampling:
         top = df.filter(F.col("x") > 70_000).select(z.alias("z")).distinct()
         # old behavior: exactly 1 distinct rank for the whole upper half
         assert top.count() > 50
+
+
+class TestSnapshotDiffNullKeys:
+    def test_null_keyed_row_diffs_as_update_not_insert_delete(self, spark):
+        from kafka_connect_plugins_spark.plans.incremental_view import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(None, "v1", 1), ("k", "s", 1)], "k string, v string, lsn long"
+        )
+        new = spark.createDataFrame(
+            [(None, "v2", 2), ("k", "s", 1)], "k string, v string, lsn long"
+        )
+        feed = snapshot_diff(old, new, ["k"], lsn_col="lsn").collect()
+        got = {(r["k"], r["_change_type"], r["v"]) for r in feed}
+        # the NULL-keyed row changed: pre+post images, never insert/delete
+        assert got == {(None, "update_preimage", "v1"),
+                       (None, "update_postimage", "v2")}
