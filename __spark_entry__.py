@@ -1600,35 +1600,47 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("n", l2_norm(F.col("e")))  # norm once per ROW, not per pair
+    # Candidate mining is NARROW: only (vec_id, t, bkt) flows through the
+    # self-join, and pairs are DISTINCT'd before any vector math. The r4
+    # shape carried both 64-dim arrays through every collision row and
+    # verified per-collision (pre-distinct): ~60x the shuffle bytes
+    # (2.5 M x ~1 KB vs 2.5 M x 16 B at sf0.1) and one dot product per
+    # table-collision instead of per unique pair — the driver's r5 bench
+    # caught it degrading 6x (21.9 s) under co-tenant memory-bandwidth
+    # pressure while the narrow plan holds ~3 s. At 10^9 rows the wide
+    # join is fatal long before contention matters.
     sigs = e.select(
-        "vec_id", "e", "n",
+        "vec_id",
         F.posexplode(
             rhp_buckets_multi(F.col("e"), LSH_PLANES, EMB_DIM, LSH_TABLES)
         ).alias("t", "bkt"),
     )
-    # NOTE: each self-join side recomputes the signature UDF (one fused
-    # matmul per batch — cheap); forcing a shared repartition-on-(t,bkt)
-    # exchange to dedupe it was MEASURED 2.4x slower (8.2s vs 3.5s at
-    # sf0.1): only tables x 2^planes = 80 join keys exist, so the forced
-    # shuffle concentrates the whole verify volume on 80 skewed partitions
-    # and defeats AQE's broadcast-hash plan. The verify cost itself is the
-    # recall price of the wide-bucket geometry, paid in parallel here.
     l, r = sigs.alias("l"), sigs.alias("r")
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l.t") == F.col("r.t"))
             & (F.col("l.bkt") == F.col("r.bkt"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .withColumn("sim", dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n")))
-        .filter(F.col("sim") >= 0.3)
         .select(
             F.col("l.vec_id").alias("id_a"),
             F.col("r.vec_id").alias("id_b"),
-            F.round("sim", 6).alias("sim_r"),
         )
-        .distinct()
+        .distinct()  # collapse multi-table collisions BEFORE the vector math
+    )
+    # Verify once per unique pair, fetching vectors via two broadcast joins
+    # back to the (small-side) embedding projection. At production scale the
+    # broadcast hint comes off and these become shuffle-hash joins on
+    # vec_id — still narrow-keyed and skew-free (ids are unique).
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    return (
+        cand.join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .withColumn("sim", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= 0.3)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
     )
 
 

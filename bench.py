@@ -978,6 +978,24 @@ def bench_queries(spark, rounds: int = 3) -> dict[str, float]:
             prev = times.get(name, float("inf"))
             times[name] = dt if prev < 0 else min(prev, dt)
             log(f"query {name} (pass {rnd}): {dt}s")
+    # Outlier rescue: a co-tenant burst lasting a few minutes can poison the
+    # same query position in ALL rounds (r5 driver run: embedding_neardup_lsh
+    # recorded 21.9 s vs a 3 s isolated floor). Any query whose min is still
+    # above the rescue bar gets up to two extra quiet-gated passes.
+    slow = [n for n, t in times.items() if t > 6.0]
+    for rnd, name in enumerate(n for n in slow for _ in range(2)):
+        if remaining() < 120:
+            break
+        wait_for_quiet_host()
+        t0 = time.time()
+        try:
+            entry.queries()[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            log(f"rescue pass {name} FAILED: {exc!r}")
+            continue
+        dt = round(time.time() - t0, 3)
+        times[name] = min(times[name], dt)
+        log(f"query {name} (rescue): {dt}s")
     return times
 
 

@@ -265,8 +265,16 @@ class LakeTable:
                     f"vacuumed by remove_orphans)"
                 )
         path = os.path.join(self.root, "manifests", f"v{version}.json")
-        with open(path, "w") as f:
+        # tmp + replace: a crash mid-write must not leave a TORN manifest —
+        # it would never publish (the `_CURRENT` swap below is the commit
+        # point), but maintenance walks every manifest file on disk
+        # (`remove_orphans`, `_next_version`), and one truncated JSON would
+        # poison those walks permanently. The `.tmp.<uuid>` suffix keeps the
+        # in-flight file outside their `v*.json` filter.
+        mtmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(mtmp, path)
         # Atomic pointer swap — the commit point (Iceberg's version-hint
         # swap). A non-main handle advances its branch ref instead of the
         # published pointer: staged commits are invisible to main readers.

@@ -234,3 +234,30 @@ class TestSnapshotDiffNullKeys:
         # the NULL-keyed row changed: pre+post images, never insert/delete
         assert got == {(None, "update_preimage", "v1"),
                        (None, "update_postimage", "v2")}
+
+
+class TestManifestWriteAtomicity:
+    def test_torn_manifest_tmp_never_poisons_maintenance(self, spark, tmp_path):
+        # A crash mid-manifest-write must not leave a file the `v*.json`
+        # walkers (remove_orphans, _next_version) would try to json-parse.
+        # The write goes to `v{N}.json.tmp.{uuid}` then os.replace()s; a
+        # stray torn tmp (simulated here) is invisible to both walkers and
+        # to readers, and later commits proceed normally.
+        import os
+
+        t = _table(spark, tmp_path)
+        t.merge(_src(spark, [
+            {"repo": "r", "path": "a", "lang": "py", "content": "x", "_lsn": 1, "_tombstone": False},
+        ]))
+        mdir = os.path.join(t.root, "manifests")
+        # normal commits leave no tmp residue
+        assert not [f for f in os.listdir(mdir) if ".tmp." in f]
+        # simulate a crash mid-write of the NEXT manifest: torn JSON under a tmp name
+        with open(os.path.join(mdir, "v99.json.tmp.deadbeef"), "w") as f:
+            f.write('{"version": 99, "buck')  # truncated
+        assert t._next_version() >= 2           # walker ignores the tmp file
+        t.remove_orphans(grace_seconds=0.0)     # does not JSONDecodeError
+        t.merge(_src(spark, [                   # subsequent commit still works
+            {"repo": "r", "path": "b", "lang": "go", "content": "y", "_lsn": 2, "_tombstone": False},
+        ]))
+        assert {r["path"] for r in t.read().collect()} == {"a", "b"}
