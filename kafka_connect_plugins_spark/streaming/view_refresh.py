@@ -78,3 +78,23 @@ class MaterializedView:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())  # atomic repoint
         return meta
+
+    def vacuum(self) -> list[str]:
+        """Delete superseded view version dirs (everything but the one
+        ``_CURRENT`` points at). Refresh never reads an old materialization
+        after the repoint — ``advance`` folds from the CURRENT dir only —
+        so unlike the lake table there is no time travel to preserve and no
+        grace window needed: a reader that resolved ``_CURRENT`` before the
+        swap may still be scanning the previous dir, so callers running
+        beside live readers should delay vacuum by one refresh cycle.
+        Returns the removed dir names."""
+        import shutil
+
+        m = self.meta()
+        keep = m["dir"] if m else None
+        removed = []
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("v") and name[1:].isdigit() and name != keep:
+                shutil.rmtree(os.path.join(self.root, name))
+                removed.append(name)
+        return removed

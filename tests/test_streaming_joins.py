@@ -152,3 +152,37 @@ def test_streaming_ingest_maintains_view_live(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_materialized_view_vacuum_keeps_current_only(spark, tmp_path):
+    import os
+
+    from kafka_connect_plugins_spark.plans.incremental_view import IncrementalAggView
+    from kafka_connect_plugins_spark.plans.lake_table import LakeTable
+    from kafka_connect_plugins_spark.streaming.view_refresh import MaterializedView
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), key_columns=["repo", "path"], num_buckets=4
+    )
+
+    def merge(rows, e):
+        df = spark.createDataFrame(
+            rows, "repo string, path string, lang string, size long, _lsn long, _tombstone boolean"
+        )
+        t.merge(df, lsn_col="_lsn", tombstone_col="_tombstone", epoch_id=e)
+
+    view = MaterializedView(
+        IncrementalAggView(t, ["lang"], {"total_size": F.col("size")}),
+        str(tmp_path / "view"),
+    )
+    merge([Row(repo="r", path="a", lang="py", size=10, _lsn=1, _tombstone=False)], 0)
+    view.refresh()
+    merge([Row(repo="r", path="b", lang="go", size=3, _lsn=2, _tombstone=False)], 1)
+    view.refresh()
+    dirs = [d for d in os.listdir(view.root) if d.startswith("v")]
+    assert len(dirs) == 2  # two materializations on disk before vacuum
+    removed = view.vacuum()
+    assert len(removed) == 1 and removed[0] != view.meta()["dir"]
+    # the live materialization still reads, and vacuum is idempotent
+    assert {r.lang: r.total_size for r in view.read().collect()} == {"py": 10, "go": 3}
+    assert view.vacuum() == []
