@@ -1485,6 +1485,38 @@ def write_bench_md(replay: dict, scaling_exec: dict, scaling_thr: dict, queries:
         f.write("\n".join(lines) + "\n")
 
 
+def _append_history_line(small: dict, replay: dict | None) -> None:
+    """Deadline-bounded runs often finish only the PRIMARY (small-bracket)
+    scaling mode; still record that run's evidence in BENCH.md's run-history
+    table so the cross-run ``_scaling_history`` fold sees it. Appends one
+    row (the table is the file's last section) with ``—`` in the columns
+    the run never reached, leaving the rest of BENCH.md untouched —
+    ``write_bench_md``'s full rewrite remains the complete-run path."""
+    md_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    if not os.path.exists(md_path) or not small.get("windows"):
+        return
+    replay_cell = (
+        f"{replay['high']['median_events_per_sec']:,}"
+        if replay and replay.get("high")
+        else "—"
+    )
+    row = (
+        f"| {time.strftime('%Y-%m-%d %H:%M')} "
+        f"| {small['clean_windows']}/{len(small['windows'])} "
+        f"| {small['efficiency_median']}/{small['efficiency_best']} "
+        f"| — | — | — | — | — | {replay_cell} |"
+    )
+    with open(md_path) as f:
+        text = f.read()
+    if "## Run history" not in text:
+        return
+    with open(md_path, "a") as f:
+        if not text.endswith("\n"):
+            f.write("\n")
+        f.write(row + "\n")
+    log(f"appended small-bracket-only run-history line: {row}")
+
+
 def _fmt_events(n: int) -> str:
     return f"{n // 1_000_000}M" if n >= 1_000_000 else str(n)
 
@@ -1645,6 +1677,9 @@ def main() -> None:
         write_bench_md(replay, scaling_exec, scaling_thr, queries,
                        scan_scaling, ann_recall, pair_recall,
                        scaling_small=OUT.get("scaling_executors_small"))
+    elif isinstance(OUT.get("scaling_executors_small"), dict):
+        log("secondary scaling modes incomplete; appending history line only")
+        _append_history_line(OUT["scaling_executors_small"], replay)
     else:
         log("scaling sections incomplete; NOT refreshing BENCH.md")
 
