@@ -1671,7 +1671,13 @@ def main() -> None:
             f"-event pipelined epoch, {CPUS} cores)"
         )
 
-    if any(k.startswith("SPARK_GRAFT_BENCH_") for k in os.environ):
+    # The deadline only bounds HOW MANY windows run — each window is the
+    # same measurement — so it must not block the history append the way a
+    # size/geometry/gate override does.
+    if any(
+        k.startswith("SPARK_GRAFT_BENCH_") and k != "SPARK_GRAFT_BENCH_DEADLINE_SEC"
+        for k in os.environ
+    ):
         log("bench sizes overridden via env; NOT refreshing BENCH.md")
     elif replay and scaling_exec and scaling_thr:
         write_bench_md(replay, scaling_exec, scaling_thr, queries,
