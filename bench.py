@@ -756,10 +756,15 @@ def _scaling_headline(out: dict) -> dict | None:
         s = out.get(key)
         if not s or not isinstance(s, dict):
             continue
-        clean = [w for w in s.get("windows", []) if w.get("clean")]
-        if not clean:
+        wins = s.get("windows", [])
+        clean = [w for w in wins if w.get("clean")]
+        # An all-noisy run still reports numbers (flagged clean_windows=0,
+        # all_windows_fallback) — a null headline reads as "no evidence"
+        # when per-window efficiencies with noise ceilings DO exist.
+        pool, fallback = (clean, False) if clean else (wins, True)
+        if not pool:
             continue
-        effs = sorted(w["eff"] for w in clean)
+        effs = sorted(w["eff"] for w in pool)
         med, bst = statistics.median(effs), effs[-1]
         cand = {
             "section": key,
@@ -768,6 +773,7 @@ def _scaling_headline(out: dict) -> dict | None:
             "clean_windows": len(clean),
             "efficiency_median_clean": round(med, 3),
             "efficiency_best_clean": round(bst, 3),
+            "all_windows_fallback": fallback,
             "bar": ">=3 clean windows, median raw >=0.5, best >=0.65",
             "meets_bar": bool(len(clean) >= 3 and med >= 0.5 and bst >= 0.65),
         }
