@@ -33,6 +33,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="kcp_exsmall_", dir=bench.SHM)
     run = bench._ScalingRun(tmp, events, "executors_small")
     run.max_windows = min(run.max_windows, max_windows)
+    run.deadline_ts = deadline
     try:
         while not run.done() and time.time() + run.est_cost() <= deadline:
             run.step()
