@@ -970,6 +970,14 @@ def _scaling_headline(out: dict) -> dict | None:
             best["meets_bar"], best["clean_windows"], best["efficiency_median_clean"]
         ):
             best = cand
+    if best is not None:
+        # one-field answer: the in-run windows above, OR the cross-run
+        # pooled set (scaling_window_pool carries the per-window rows)
+        pool = out.get("scaling_window_pool")
+        best["pool_meets_bar"] = bool(pool and pool.get("meets_bar"))
+        best["meets_bar_in_run_or_pooled"] = bool(
+            best["meets_bar"] or best["pool_meets_bar"]
+        )
     return best
 
 
@@ -1882,8 +1890,8 @@ def main() -> None:
                     log(f"{key} window FAILED: {exc!r}")
                     run.failed = True
                 OUT[key] = run.summary()
-                OUT["scaling_headline"] = _scaling_headline(OUT)
                 OUT["scaling_window_pool"] = _window_pool()
+                OUT["scaling_headline"] = _scaling_headline(OUT)
                 flush_partial(key)
                 return True
 
@@ -1976,6 +1984,8 @@ def main() -> None:
     # in-place BENCH.md section refresh — derived purely from the
     # override-protected jsonl, so it is safe on every run shape.
     OUT["scaling_window_pool"] = _window_pool()
+    if OUT.get("scaling_headline"):
+        OUT["scaling_headline"] = _scaling_headline(OUT)
     try:
         _refresh_pool_section()
     except OSError:
