@@ -62,7 +62,20 @@ def _common_shape(
     left_struct = F.struct(*[F.col(c) for c in left.columns])
     left_t = left.select(left_struct.alias("l")).schema["l"].dataType
 
-    tb_col_r = F.col(tiebreak).cast("double") if tiebreak else F.lit(0.0)
+    # The tiebreak orders RIGHT rows among themselves at an equal
+    # (key, ts) — left rows never compete on it (their relative order
+    # within the tag-1 group cannot change which right payload each one
+    # carries), so the left side contributes a NULL placeholder OF THE
+    # RIGHT COLUMN'S OWN TYPE. Casting to double here would silently
+    # break the determinism guarantee the parameter exists for: long
+    # LSNs above 2^53 collapse to one double, and a string tiebreak
+    # casts to NULL for every row, disabling it with no error.
+    if tiebreak:
+        tb_t = right.schema[tiebreak].dataType
+        tb_col_r = F.col(tiebreak)
+    else:
+        tb_t = "int"
+        tb_col_r = F.lit(0)
     r = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_ts).alias("__t"),
@@ -75,7 +88,7 @@ def _common_shape(
         F.col(left_on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__tag"),
-        F.lit(0.0).alias("__tb"),
+        F.lit(None).cast(tb_t).alias("__tb"),
         F.lit(None).cast(payload_t).alias("__payload"),
         left_struct.alias("__left"),
     )
@@ -158,7 +171,7 @@ def asof_join_bucketed(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
-    unioned, payload_t = _common_shape(
+    unioned, _ = _common_shape(
         left, right, left_on, right_on, left_ts, right_ts, tiebreak
     )
     b = F.window("__t", bucket).getField("start").alias("__b")
@@ -193,7 +206,9 @@ def asof_join_bucketed(
             "__k",
             "__b",
             F.lit(0).alias("__tag"),
-            F.lit(0.0).alias("__tb"),
+            # seeds sort first on NULL __t0 regardless; the placeholder
+            # only has to match the union type of the raw tiebreak column
+            F.lit(None).cast(unioned.schema["__tb"].dataType).alias("__tb"),
             F.col("__seed").alias("__payload"),
             F.lit(None).cast(unioned.schema["__left"].dataType).alias("__left"),
             F.lit(None).cast("timestamp").alias("__t0"),
@@ -212,10 +227,4 @@ def asof_join_bucketed(
     carried = seeded.withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(wb)
     )
-    out = carried.filter(F.col("__tag") == 1)
-    if how == "inner":
-        out = out.filter(F.col("__match").isNotNull())
-    sel: list[Column] = [
-        F.col(f"__left.{c}").alias(c) for c in left.columns
-    ] + [F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right.columns]
-    return out.select(*sel)
+    return _emit(carried, left.columns, right, prefix, how)

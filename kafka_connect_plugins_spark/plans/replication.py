@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import os
 import time
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,8 +62,16 @@ COMMIT_VERSION_COL = "_commit_version"
 
 
 def replication_stream_id(source: LakeTable) -> str:
-    """Stable ledger key for "this replica is fed by that table"."""
-    return f"cdf:{os.path.basename(os.path.abspath(source.root))}"
+    """Stable ledger key for "this replica is fed by that table".
+
+    Keyed on the source's FULL path, not its basename: two different
+    sources that happen to share a directory name (``/region1/orders``
+    and ``/region2/orders``) must not share one ledger entry in a common
+    replica — the second feed would read the first's applied epoch and
+    silently never ship. The basename stays in the id for readability;
+    the crc32 of the absolute path is what disambiguates."""
+    root = os.path.abspath(source.root)
+    return f"cdf:{os.path.basename(root)}:{zlib.crc32(root.encode('utf-8')):08x}"
 
 
 def changes_to_merge_source(changes: DataFrame) -> DataFrame:

@@ -40,6 +40,38 @@ TX_ID_COL = "_tx_id"
 TX_ORDER_COL = "_tx_order"
 
 
+def _dead_letter_select(
+    parsed: DataFrame,
+    cols: list,
+    valid,
+    json_col: str,
+    keep_corrupt: bool,
+) -> DataFrame:
+    """Shared adapter tail enforcing the dead-letter contract.
+
+    Valid rows keep their parsed columns and a null ``_corrupt_record``;
+    INVALID rows (unknown op — e.g. Debezium ``t``/``m``, Mongo ``drop``/
+    ``invalidate`` — or an unparseable envelope) expose ONLY
+    ``_corrupt_record``: every data column, the LSN, and the tombstone
+    flag are nulled, so a consumer that merges the output without
+    filtering on ``_corrupt_record`` cannot upsert a phantom row at a
+    real LSN. With ``keep_corrupt=False`` invalid rows are dropped."""
+    ok = F.coalesce(valid, F.lit(False))
+    if not keep_corrupt:
+        return parsed.filter(ok).select(*cols)
+    out = parsed.select(
+        *cols,
+        ok.alias("__ok"),
+        F.when(~ok, F.col(json_col).cast("string")).alias("_corrupt_record"),
+    )
+    data = [
+        F.when(F.col("__ok"), F.col(n)).alias(n)
+        for n in out.columns
+        if n not in ("__ok", "_corrupt_record")
+    ]
+    return out.select(*data, "_corrupt_record")
+
+
 def debezium_envelope_schema(row_type: T.StructType) -> T.StructType:
     """The Debezium payload envelope for a table whose rows are
     ``row_type``: ``before``/``after`` carry full row images, ``op`` is
@@ -135,13 +167,7 @@ def debezium_to_merge_source(
     if with_transaction:
         cols.append(F.col("__env.transaction.id").alias(TX_ID_COL))
         cols.append(F.col("__env.transaction.total_order").alias(TX_ORDER_COL))
-    if keep_corrupt:
-        cols.append(
-            F.when(~F.coalesce(valid, F.lit(False)), F.col(json_col).cast("string"))
-            .alias("_corrupt_record")
-        )
-        return parsed.select(*cols)
-    return parsed.filter(F.coalesce(valid, F.lit(False))).select(*cols)
+    return _dead_letter_select(parsed, cols, valid, json_col, keep_corrupt)
 
 
 def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFrame:
@@ -379,10 +405,4 @@ def mongo_changestream_to_merge_source(
         .alias(LSN_COL)
     )
     cols.append(is_delete.alias(TOMBSTONE_COL))
-    if keep_corrupt:
-        cols.append(
-            F.when(~F.coalesce(valid, F.lit(False)), F.col(json_col).cast("string"))
-            .alias("_corrupt_record")
-        )
-        return parsed.select(*cols)
-    return parsed.filter(F.coalesce(valid, F.lit(False))).select(*cols)
+    return _dead_letter_select(parsed, cols, valid, json_col, keep_corrupt)
