@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .lake_table import cdf_classify_emit
+
 #: change types whose column values describe the NEW state (add their measure)
 _ADD_TYPES = ("insert", "update_postimage")
 #: change types whose column values describe the OLD state (retract it)
@@ -162,29 +164,8 @@ def snapshot_diff(
         differs = ~F.struct(*[F.col(f"o_{c}") for c in vals]).eqNullSafe(
             F.struct(*[F.col(f"n_{c}") for c in vals])
         )
-    update_types = (
-        F.array(F.lit("update_preimage"), F.lit("update_postimage"))
-        if include_preimages
-        else F.array(F.lit("update_postimage"))
-    )
-    change = (
-        F.when(~o_live & n_live, F.array(F.lit("insert")))
-        .when(o_live & n_live & differs, update_types)
-        .when(o_live & ~n_live, F.array(F.lit("delete")))
-    )
-    old_side = F.col("_change_type").isin("delete", "update_preimage")
-    return (
-        joined.withColumn("_change_types", change)
-        .filter(F.col("_change_types").isNotNull())
-        .select("*", F.explode("_change_types").alias("_change_type"))
-        .select(
-            *[F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys],
-            *[
-                F.when(old_side, F.col(f"o_{c}")).otherwise(F.col(f"n_{c}")).alias(c)
-                for c in vals
-            ],
-            F.col("_change_type"),
-        )
+    return cdf_classify_emit(
+        joined, keys, vals, o_live, n_live, differs, include_preimages
     )
 
 

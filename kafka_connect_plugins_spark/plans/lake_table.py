@@ -152,6 +152,54 @@ def digest_components(df: DataFrame) -> DataFrame:
     )
 
 
+def cdf_classify_emit(
+    joined: DataFrame,
+    keys: list[str],
+    vals: list[str],
+    o_live,
+    n_live,
+    differs,
+    include_preimages: bool,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """The change-data-feed classification contract, shared by
+    :meth:`LakeTable.read_changes` and ``incremental_view.snapshot_diff``.
+
+    ``joined`` is a full-outer key join with every column prefixed ``o_``
+    (old snapshot) / ``n_`` (new); the callers own what "live" and
+    "differs" mean (lake snapshots test LSN + tombstone, in-memory
+    snapshots test existence flags). Emits ``insert`` /
+    ``update_preimage`` / ``update_postimage`` / ``delete`` rows — old
+    column values on the old-side types, new on the rest — and nothing
+    for untouched keys. One definition so a contract change (a new change
+    type, a no-op rule) cannot drift between the two feeds."""
+    update_types = (
+        F.array(F.lit("update_preimage"), F.lit("update_postimage"))
+        if include_preimages
+        else F.array(F.lit("update_postimage"))
+    )
+    change = (
+        F.when(~o_live & n_live, F.array(F.lit("insert")))
+        .when(o_live & n_live & differs, update_types)
+        .when(o_live & ~n_live, F.array(F.lit("delete")))
+    )
+    old_side = F.col("_change_type").isin("delete", "update_preimage")
+    return (
+        joined.withColumn("_change_types", change)
+        .filter(F.col("_change_types").isNotNull())
+        .select("*", F.explode("_change_types").alias("_change_type"))
+        .select(
+            *[F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys],
+            *[
+                F.when(old_side, F.col(f"o_{c}")).otherwise(F.col(f"n_{c}")).alias(c)
+                for c in vals
+            ],
+            F.col("_change_type"),
+            *extra_cols,
+        )
+    )
+
+
 class CommitConflictError(RuntimeError):
     """Optimistic commit lost the race: the ref advanced after this
     operation read its base snapshot. Re-read and retry (Iceberg's
@@ -910,33 +958,17 @@ class LakeTable:
             F.col(f"n_{TOMBSTONE_COL}"), F.lit(False)
         )
         same = F.col(f"o_{LSN_COL}").eqNullSafe(F.col(f"n_{LSN_COL}"))
-        update_types = (
-            F.array(F.lit("update_preimage"), F.lit("update_postimage"))
-            if include_preimages
-            else F.array(F.lit("update_postimage"))
-        )
-        change = (
-            F.when(~o_live & n_live, F.array(F.lit("insert")))
-            .when(o_live & n_live & ~same, update_types)
-            .when(o_live & ~n_live, F.array(F.lit("delete")))
-        )
-        old_side = F.col("_change_type").isin("delete", "update_preimage")
-        return (
-            joined.withColumn("_change_types", change)
-            .filter(F.col("_change_types").isNotNull())
-            .select("*", F.explode("_change_types").alias("_change_type"))
-            .select(
-                *[F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k) for k in keys],
-                *[
-                    F.when(old_side, F.col(f"o_{c}"))
-                    .otherwise(F.col(f"n_{c}"))
-                    .alias(c)
-                    for c in out_fields
-                    if c not in keys
-                ],
-                F.col("_change_type"),
+        return cdf_classify_emit(
+            joined,
+            keys,
+            [c for c in out_fields if c not in keys],
+            o_live,
+            n_live,
+            ~same,
+            include_preimages,
+            extra_cols=(
                 F.lit(int(to_version)).cast("long").alias("_commit_version"),
-            )
+            ),
         )
 
     def last_epoch(self, stream_id: str = "default") -> int:
