@@ -2034,7 +2034,11 @@ _LSH_SHINGLES_SQL = (
     f" i -> substr(text, i, {_LSH_K}))"
 )
 _LSH_BANDS_SQL = ", ".join(f"({b})" for b in range(len(_MINHASH_PARAMS) // _LSH_R))
-_WS_TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+_WS_TOKENS_SQL = (
+    # mirrors functions/text.py ws_tokens: blank text -> EMPTY token list
+    # (string_split_regex of '' alone returns [''], a phantom token)
+    r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+)
 _NORM_TEXT_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 _BPE_PATTERN_SQL = "'[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'"
 _MERSENNE31 = 2147483647
@@ -2783,7 +2787,7 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 4) AS punct_ratio,
                    round(len(list_distinct({_WS_TOKENS_SQL}))::DOUBLE
                          / greatest(len({_WS_TOKENS_SQL}), 1), 4) AS uniq_ratio,
-                   round((length(text) - len({_WS_TOKENS_SQL}) + 1)::DOUBLE
+                   round(coalesce(length(array_to_string({_WS_TOKENS_SQL}, '')), 0)::DOUBLE
                          / greatest(len({_WS_TOKENS_SQL}), 1), 4) AS mean_token_len
             FROM documents
         """,
@@ -3041,7 +3045,8 @@ def oracle_sql() -> dict[str, str]:
             -- 64-bit hash (collision-free at this scale, deterministic)
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(trim(text), '\\s+') AS t
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> t <> '') AS t
               FROM documents),
             grams AS (
               SELECT doc_id,

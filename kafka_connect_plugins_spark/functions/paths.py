@@ -21,14 +21,21 @@ def dot_path_col(root: str, path: str) -> Column:
     return col
 
 
-def dot_path_exists(df: DataFrame, root: str, path: str) -> bool:
-    """Plan-time check that the dot path resolves in ``df``'s schema."""
+def dot_path_type(df: DataFrame, root: str, path: str) -> T.DataType | None:
+    """Plan-time type of ``root.path.to.field`` in ``df``'s schema, or
+    ``None`` where the path does not resolve — the ONE schema walk that
+    both the exists-check and type lookups build on."""
     try:
         dtype: T.DataType = df.schema[root].dataType
     except KeyError:
-        return False
+        return None
     for part in path.split("."):
         if not isinstance(dtype, T.StructType) or part not in dtype.fieldNames():
-            return False
+            return None
         dtype = dtype[part].dataType
-    return True
+    return dtype
+
+
+def dot_path_exists(df: DataFrame, root: str, path: str) -> bool:
+    """Plan-time check that the dot path resolves in ``df``'s schema."""
+    return dot_path_type(df, root, path) is not None

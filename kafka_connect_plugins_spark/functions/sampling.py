@@ -44,10 +44,15 @@ def hash_uniform(key: Column | str) -> Column:
 
 def deterministic_sample(key: Column | str, fraction: float) -> Column:
     """Boolean Column: row is in the ``fraction`` sample. Same rows selected
-    on every engine, cluster size, and run."""
+    on every engine, cluster size, and run.
+
+    NULL keys are never sampled (``False``, not NULL — a three-valued
+    NULL would silently vanish from both ``filter(c)`` and
+    ``filter(~c)``). A row with no key has no stable identity to sample
+    by; surface it, don't draw for it."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return hash_uniform(key) < F.lit(fraction)
+    return F.coalesce(hash_uniform(key) < F.lit(fraction), F.lit(False))
 
 
 def hash_split(
@@ -58,9 +63,12 @@ def hash_split(
 
     ``weights`` maps label -> weight (normalized internally; iteration
     order defines the cumulative intervals, so pass an ordered dict —
-    e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``). Every row gets
-    exactly one label; boundaries are half-open so splits are disjoint
-    and exhaustive.
+    e.g. ``{"train": 0.98, "val": 0.01, "test": 0.01}``). Every NON-NULL
+    key gets exactly one label; boundaries are half-open so splits are
+    disjoint and exhaustive. NULL keys get a NULL label — hash(NULL) is
+    NULL, and letting the when-chain's ``otherwise`` swallow it would
+    silently dump every null-key row into the LAST (usually smallest,
+    usually eval) split. Filter or impute null keys explicitly upstream.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -76,4 +84,5 @@ def hash_split(
         cond = u < F.lit(cum)
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     last = F.lit(labels[-1])
-    return last if expr is None else expr.otherwise(last)
+    assigned = last if expr is None else expr.otherwise(last)
+    return F.when(u.isNotNull(), assigned)

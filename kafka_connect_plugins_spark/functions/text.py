@@ -25,8 +25,12 @@ BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
 
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokens."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokens. Blank or whitespace-only text yields an EMPTY
+    array: ``split(trim(''))`` alone returns ``['']`` — one phantom empty
+    token that would count as a real token in every downstream feature,
+    fingerprint, and min-token quality gate (a blank doc would read as
+    n_tokens=1, uniq_ratio=1.0 — maximally "high quality")."""
+    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
 
 
 def bpe_ish_tokens(text: Column) -> Column:
@@ -47,7 +51,7 @@ def stable_hash60(s: Column) -> Column:
 
 def hash_array60(arr: Column) -> Column:
     """Element-wise :func:`stable_hash60` over a string array."""
-    return F.transform(arr, lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long"))
+    return F.transform(arr, stable_hash60)
 
 
 def rolling_fingerprint(text: Column, base: int = 31, mod: int = FINGERPRINT_MOD) -> Column:
@@ -80,8 +84,14 @@ def quality_features(text: Column) -> dict[str, Column]:
         "alpha_ratio": F.round(alpha / F.greatest(n_chars, F.lit(1)), 4),
         "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 4),
         "uniq_ratio": F.round(n_uniq / F.greatest(n, F.lit(1)).cast("double"), 4),
+        # from the tokens themselves — (n_chars - n + 1)/n assumes exactly
+        # one single-space separator and no surrounding whitespace, which
+        # overstates token length on newline/indent-heavy text (code,
+        # markdown)
         "mean_token_len": F.round(
-            (n_chars - n + 1) / F.greatest(n, F.lit(1)).cast("double"), 4
+            F.length(F.concat_ws("", toks))
+            / F.greatest(n, F.lit(1)).cast("double"),
+            4,
         ),
     }
 

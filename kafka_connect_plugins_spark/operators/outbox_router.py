@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_connect_plugins_spark.config import ConfigDef, ConfigException
-from kafka_connect_plugins_spark.functions.paths import dot_path_col, dot_path_exists
+from kafka_connect_plugins_spark.functions.paths import (
+    dot_path_col,
+    dot_path_exists,
+    dot_path_type,
+)
 from kafka_connect_plugins_spark.functions.strings import stringify_any
 from kafka_connect_plugins_spark.operators.base import Stage
 
@@ -67,23 +71,27 @@ class OutboxEventRouter(Stage):
         return dot_path_col(self.value_column, name)
 
     def _field_type(self, df: DataFrame, name: str):
-        dtype = df.schema[self.value_column].dataType
-        for part in name.split("."):
-            dtype = dtype[part].dataType
-        return dtype
+        # same walk as the exists-check in _field (one implementation,
+        # functions/paths.py) — _field always validated first, so non-None
+        return dot_path_type(df, self.value_column, name)
 
     def apply(self, df: DataFrame) -> DataFrame:
         routed_by = stringify_any(
             self._field(df, self.route_by), self._field_type(df, self.route_by)
         )
         # ${routedByValue} substitution without regex-escaping surprises:
-        # split the literal template on the placeholder and concat around it
-        pre, _, post = self.replacement.partition(PLACEHOLDER)
-        topic = (
-            F.concat(F.lit(pre), F.coalesce(routed_by, F.lit("null")), F.lit(post))
-            if PLACEHOLDER in self.replacement
-            else F.lit(self.replacement)
-        )
+        # split the literal template on the placeholder and interleave the
+        # routed value between ALL segments — Debezium's EventRouter
+        # substitutes every occurrence, not just the first
+        segments = self.replacement.split(PLACEHOLDER)
+        if len(segments) == 1:
+            topic = F.lit(self.replacement)
+        else:
+            value = F.coalesce(routed_by, F.lit("null"))
+            parts: list = [F.lit(segments[0])]
+            for seg in segments[1:]:
+                parts += [value, F.lit(seg)]
+            topic = F.concat(*parts)
         key = stringify_any(
             self._field(df, self.key_field), self._field_type(df, self.key_field)
         )

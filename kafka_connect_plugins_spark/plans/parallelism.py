@@ -30,7 +30,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     if df.isStreaming:
         return df
-    target = int(min_partitions or df.sparkSession.sparkContext.defaultParallelism)
+    # `is None`, not truthiness: an explicit min_partitions=0 means "no
+    # minimum" and must stay a no-op, not fall through to the default
+    target = int(
+        df.sparkSession.sparkContext.defaultParallelism
+        if min_partitions is None
+        else min_partitions
+    )
     if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
