@@ -889,7 +889,11 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s_early, s_final = state(src.filter(F.col("lsn") < half)), state(src)
     view = s_early.groupBy("event_type").agg(
-        F.sum("value").alias("total_value"), F.count(F.lit(1)).alias("n_rows")
+        F.sum("value").alias("total_value"),
+        # per-measure non-NULL count: the state bookkeeping agg_delta now
+        # carries so all-NULL groups read NULL (SQL sum), never 0
+        F.count(F.col("value")).alias("__nn_total_value"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
     feed = snapshot_diff(s_early, s_final, keys=["user_id"], lsn_col="lsn")
     delta = agg_delta(feed, ["event_type"], {"total_value": F.col("value")})

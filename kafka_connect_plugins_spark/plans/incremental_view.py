@@ -28,6 +28,15 @@ row count (``count_col``), and groups whose maintained count reaches zero
 are dropped by ``apply_agg_delta`` — a group deleted and re-inserted within
 one feed nets out correctly because the folds are signed sums.
 
+NULL measure values are exact too: SQL ``sum`` skips NULLs and returns NULL
+for an all-NULL group, so a maintained plain sum would drift to 0 where
+recomputation says NULL (retract a group's last non-NULL value and the
+signed fold has nothing left to subtract). Each measure therefore carries a
+signed NON-NULL count (``__nn_<measure>``) through the state — the standard
+IVM device — and ``apply_agg_delta`` emits the measure as NULL exactly when
+that count reaches zero, keeping ``advance(full(v0), v0, v1) == full(v1)``
+row-for-row even under NULL-writing updates.
+
 The semantics follow the public Delta Lake CDF contract (change types
 ``insert`` / ``update_preimage`` / ``update_postimage`` / ``delete``); the
 reference connector itself stops at the sink (see
@@ -47,6 +56,11 @@ from .lake_table import cdf_classify_emit
 _ADD_TYPES = ("insert", "update_postimage")
 #: change types whose column values describe the OLD state (retract it)
 _SUB_TYPES = ("delete", "update_preimage")
+
+
+def nn_col(measure: str) -> str:
+    """State column holding ``measure``'s signed non-NULL value count."""
+    return f"__nn_{measure}"
 
 
 def _sign() -> Column:
@@ -70,7 +84,11 @@ def agg_delta(
     ``measures`` maps output column name -> additive row expression
     (e.g. ``{"revenue": F.col("price") * (1 - F.col("discount"))}``).
     A signed live-row count is always included as ``count_col`` — it is
-    what lets ``apply_agg_delta`` drop emptied groups exactly.
+    what lets ``apply_agg_delta`` drop emptied groups exactly — and each
+    measure additionally carries a signed non-NULL contribution count
+    ``__nn_<name>`` — what lets it emit NULL (not 0) for a group whose
+    non-NULL values were all retracted, matching SQL sum semantics under
+    recomputation.
 
     Plan shape: one narrow projection + one hash aggregate shuffled on the
     group keys, over the change feed only (never the table).
@@ -78,13 +96,23 @@ def agg_delta(
     if count_col in measures:
         raise ValueError(f"measure name {count_col!r} collides with count_col")
     sign = _sign()
-    contribs = [
-        (sign.cast("long") * expr).alias(name) for name, expr in measures.items()
-    ] + [sign.cast("long").alias(count_col)]
+    contribs = (
+        [(sign.cast("long") * expr).alias(name) for name, expr in measures.items()]
+        + [
+            (sign.cast("long") * expr.isNotNull().cast("long")).alias(
+                nn_col(name)
+            )
+            for name, expr in measures.items()
+        ]
+        + [sign.cast("long").alias(count_col)]
+    )
+    out_names = (
+        list(measures) + [nn_col(n) for n in measures] + [count_col]
+    )
     return (
         changes.select(*group_cols, *contribs)
         .groupBy(*group_cols)
-        .agg(*[F.sum(name).alias(name) for name in list(measures) + [count_col]])
+        .agg(*[F.sum(name).alias(name) for name in out_names])
     )
 
 
@@ -96,11 +124,16 @@ def apply_agg_delta(
 ) -> DataFrame:
     """Fold one delta (from ``agg_delta``) into the maintained view state.
 
-    ``state`` and ``delta`` must share the schema ``group_cols + measures +
-    count_col``. Groups whose maintained row count reaches zero disappear
-    from the view, exactly as they would under recomputation. One shuffle
-    on the group keys; with the state stored bucketed on those keys the
-    exchange on the state side is elided (co-partitioned merge).
+    ``state`` and ``delta`` must share the schema ``group_cols + measures
+    [+ their ``__nn_*`` non-NULL counts] + count_col``. Groups whose
+    maintained row count reaches zero disappear from the view, exactly as
+    they would under recomputation; a measure whose non-NULL count reaches
+    zero reads NULL, exactly as SQL ``sum`` over its all-NULL group would
+    (the summed value is provably 0 there — every non-NULL contribution
+    was retracted — so the rewrite loses nothing). States without ``__nn``
+    columns (hand-built, pre-upgrade) fold as plain signed sums. One
+    shuffle on the group keys; with the state stored bucketed on those
+    keys the exchange on the state side is elided (co-partitioned merge).
     """
     measure_cols = [c for c in state.columns if c not in group_cols]
     if set(state.columns) != set(delta.columns):
@@ -110,12 +143,20 @@ def apply_agg_delta(
         )
     if count_col not in measure_cols:
         raise ValueError(f"state is missing the row-count column {count_col!r}")
-    return (
+    folded = (
         state.unionByName(delta)
         .groupBy(*group_cols)
         .agg(*[F.sum(c).alias(c) for c in measure_cols])
-        .filter(F.col(count_col) > 0)
     )
+    out = [
+        (
+            F.when(F.col(nn_col(c)) > 0, F.col(c)).alias(c)
+            if nn_col(c) in measure_cols
+            else F.col(c)
+        )
+        for c in measure_cols
+    ]
+    return folded.select(*group_cols, *out).filter(F.col(count_col) > 0)
 
 
 def snapshot_diff(
@@ -197,6 +238,12 @@ class IncrementalAggView:
         df = self.table.read(version)
         return df.groupBy(*self.group_cols).agg(
             *[F.sum(expr).alias(name) for name, expr in self.measures.items()],
+            # per-measure non-NULL counts: the state bookkeeping that keeps
+            # maintained sums NULL-exact (count() skips NULLs by definition)
+            *[
+                F.count(expr).alias(nn_col(name))
+                for name, expr in self.measures.items()
+            ],
             F.count(F.lit(1)).alias(self.count_col),
         )
 

@@ -56,6 +56,19 @@ LSN_COL = "_lsn"
 TOMBSTONE_COL = "_tombstone"
 BUCKET_COL = "_bucket"
 _RESERVED = {LSN_COL, TOMBSTONE_COL, BUCKET_COL}
+
+
+def _contains_map_type(dt: T.DataType) -> bool:
+    """True when ``dt`` contains a MapType anywhere — such columns are not
+    null-safe-comparable in Spark (``EqualNullSafe`` rejects map ordering),
+    so equality checks on them must go through a serialized form."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map_type(f_.dataType) for f_ in dt.fields)
+    return False
 # The equal-LSN tiebreak packs lsn*2+src into one long (see merge()); LSNs at
 # or above 2**62 would overflow the packing silently.
 _LSN_DOMAIN_MAX = 1 << 62
@@ -512,8 +525,18 @@ class LakeTable:
         bounds but keeps them valid (min' <= min, max' >= max), so pruning
         on string bounds stays conservative. Each bucket also records its
         row count under ``__rows``.
+
+        pyarrow is OPTIONAL: it ships with this container and with
+        ``pip install pyspark[sql]``, but not with a bare pyspark install.
+        Stats are a pruning accelerator, never a correctness input, so a
+        driver without pyarrow commits manifests with no ``file_stats``
+        block — every read degrades to "may match" (full bucket set) and
+        every write API keeps working.
         """
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return {}
 
         out: dict[str, dict] = {}
         if not os.path.isdir(out_dir):
@@ -874,9 +897,18 @@ class LakeTable:
         whose data version differs between the two manifests are read
         (bucket-level pruning — the diff costs I/O proportional to what
         changed, not table size); within a rewritten bucket, carried-forward
-        rows are recognized by unchanged ``_lsn`` and emitted as no-ops
-        (dropped). Deletes surface whether the marker row is still retained
-        or already purged.
+        rows are recognized by unchanged ``_lsn`` AND unchanged column
+        values, and emitted as no-ops (dropped). The value comparison is
+        what makes LSN-preserving mutations visible: ``update_where`` and
+        ``merge_into`` matched-updates keep the row's ``_lsn`` by contract,
+        so an LSN-only diff would classify their rewrites as carried-forward
+        and a replica applying the feed would silently diverge. Columns
+        containing map types (not null-safe-comparable in Spark) compare via
+        ``to_json`` — entry-order drift there can only produce a spurious
+        no-op update row (idempotent for any consumer), never a missed
+        change for a carried-forward row, which the rewrite preserves
+        byte-for-byte. Deletes surface whether the marker row is still
+        retained or already purged.
         """
         m_to = self.manifest(to_version)
         m_from = self.manifest(from_version)
@@ -957,7 +989,19 @@ class LakeTable:
         n_live = F.col(f"n_{LSN_COL}").isNotNull() & ~F.coalesce(
             F.col(f"n_{TOMBSTONE_COL}"), F.lit(False)
         )
+        # carried-forward = same LSN and same values: update_where /
+        # merge_into matched-updates rewrite rows WITHOUT bumping _lsn
+        # (LWW ordering stays the ingest's property), so the LSN alone
+        # cannot distinguish a carried row from an out-of-band mutation
         same = F.col(f"o_{LSN_COL}").eqNullSafe(F.col(f"n_{LSN_COL}"))
+        for f_ in schema.fields:
+            if f_.name in keys or f_.name in (LSN_COL, TOMBSTONE_COL):
+                continue
+            oc, nc = F.col(f"o_{f_.name}"), F.col(f"n_{f_.name}")
+            if _contains_map_type(f_.dataType):
+                same = same & F.to_json(oc).eqNullSafe(F.to_json(nc))
+            else:
+                same = same & oc.eqNullSafe(nc)
         return cdf_classify_emit(
             joined,
             keys,
@@ -1697,6 +1741,10 @@ class LakeTable:
                     source_rows=src_rows,
                     dirty_buckets=len(dirty),
                     total_buckets=len(manifest["buckets"]),
+                    # the appended delta rows ARE the winner set (one
+                    # LWW-collapsed row per key) — same meaning as the
+                    # rewrite path's count; replicate() reports it
+                    rows_written=prep.n_winner_keys,
                     schema_added_columns=added,
                     schema_widened_columns=widened,
                     seconds=time.time() - t0,
@@ -2250,12 +2298,25 @@ class LakeTable:
         )
         # Retained = the newest keep_last snapshots along MAIN's ancestry
         # (parent chain, so versions allocated to branches don't shrink
-        # main's time-travel window) + every tag and branch head: a staged
-        # write-audit-publish branch or a pinned tag must survive GC.
-        retained_set = set(self._ancestry(current)[:keep_last])
+        # main's time-travel window) + every tag head + every branch's
+        # PRIVATE ancestry (its parent chain down to where it rejoins main):
+        # publish() walks the branch chain to prove main's head is an
+        # ancestor, and rollback() walks it for the target check, so
+        # expiring an interior branch manifest would permanently wedge the
+        # write-audit-publish promotion of any branch with 2+ commits. Main
+        # history below the fork point still ages out normally — the walk
+        # stops at the first version that lies on main's chain.
+        main_ancestry = self._ancestry(current)
+        retained_set = set(main_ancestry[:keep_last])
+        main_ancestry_set = set(main_ancestry)
         refs = self.refs()
-        for v in list(refs["branches"].values()) + list(refs["tags"].values()):
+        for v in refs["tags"].values():
             retained_set.add(int(v))
+        for v in refs["branches"].values():
+            for a in self._ancestry(int(v)):
+                retained_set.add(a)
+                if a in main_ancestry_set:
+                    break  # fork point: the publish anchor; older is main's
         if older_than_ms is not None:
             for v in versions:
                 if v in retained_set:
@@ -2690,98 +2751,102 @@ class LakeTable:
         # twice (doubling the dominant I/O), and a non-deterministic source
         # could make the reported counts diverge from what was written
         with_action = joined.withColumn("__a", action).persist()
-        counts = {
-            r["__a"]: int(r["n"])
-            for r in with_action.groupBy("__a").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
-        }
-        result = {
-            "op": "merge_into",
-            "rows_updated": counts.get("U", 0),
-            "rows_deleted": counts.get("D", 0),
-            "rows_inserted": counts.get("I", 0),
-            "buckets_rewritten": 0,
-        }
-        if not (counts.get("U") or counts.get("D") or counts.get("I")):
-            with_action.unpersist()
+        # finally: a failing counts-collect, parquet write, or manifest
+        # commit must not leak the persisted full-outer join (merge()
+        # gives its caches the same guarantee)
+        try:
+            counts = {
+                r["__a"]: int(r["n"])
+                for r in with_action.groupBy("__a").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            result = {
+                "op": "merge_into",
+                "rows_updated": counts.get("U", 0),
+                "rows_deleted": counts.get("D", 0),
+                "rows_inserted": counts.get("I", 0),
+                "buckets_rewritten": 0,
+            }
+            if not (counts.get("U") or counts.get("D") or counts.get("I")):
+                return result
+
+            def out_col(c: str) -> Column:
+                base = F.col(c)
+                dt = current.schema[c].dataType
+                if c in keys:
+                    ins = base  # join key: already coalesced by the ON list
+                elif c == LSN_COL:
+                    src_lsn = (
+                        F.col(f"src.{LSN_COL}").cast(dt)
+                        if LSN_COL in src_payload else F.lit(0).cast(dt)
+                    )
+                    # replaced marker keeps its shield; fresh key takes src lsn
+                    ins = F.greatest(
+                        F.coalesce(src_lsn, F.lit(0).cast(dt)),
+                        F.coalesce(base, F.lit(0).cast(dt)),
+                    )
+                elif c == TOMBSTONE_COL:
+                    ins = F.lit(False).cast(dt)
+                elif c in src_payload:
+                    ins = F.col(f"src.{c}").cast(dt)
+                else:
+                    ins = F.lit(None).cast(dt)
+                col = F.when(F.col("__a") == "I", ins)
+                if matched_update is not None and c in matched_update:
+                    # cast INSIDE the branch — see _rewrite_where on why letting
+                    # when/otherwise unify types would corrupt unmatched rows
+                    col = col.when(
+                        F.col("__a") == "U", matched_update[c].cast(dt)
+                    )
+                return col.otherwise(base).alias(c)
+
+            out = with_action.filter(F.col("__a").isin("U", "I", "C")).select(
+                F.col(BUCKET_COL), *[out_col(c) for c in cur_cols]
+            )
+            new_version = self._next_version()
+            out_dir = os.path.join(self.root, "data", f"v{new_version}")
+            self._bucket_writer(
+                out.repartition(len(dirty), F.col(BUCKET_COL)), manifest
+            ).parquet(out_dir)
+            written = {
+                int(name.split("=", 1)[1])
+                for name in os.listdir(out_dir)
+                if name.startswith(f"{BUCKET_COL}=")
+            }
+            buckets = dict(manifest["buckets"])
+            for b in dirty:
+                if b in written:
+                    buckets[str(b)] = new_version  # adds insert-only buckets too
+                else:
+                    buckets.pop(str(b), None)      # a delete emptied the bucket
+            self._write_manifest(
+                self._with_file_stats({
+                    **manifest,
+                    "version": new_version,
+                    "parent": int(manifest["version"]),
+                    "buckets": buckets,
+                    # dirty buckets were read delta-collapsed: their pending
+                    # merge-on-read deltas are folded into the new base files
+                    "deltas": {
+                        b: list(vs)
+                        for b, vs in manifest.get("deltas", {}).items()
+                        if int(b) not in set(dirty)
+                    },
+                    "summary": {
+                        "committed_at_ms": int(time.time() * 1000),
+                        "op": "merge_into",
+                        "rows_updated": result["rows_updated"],
+                        "rows_deleted": result["rows_deleted"],
+                        "rows_inserted": result["rows_inserted"],
+                        "rewritten_buckets": len(dirty),
+                    },
+                }, out_dir)
+            )
+            result["buckets_rewritten"] = len(dirty)
             return result
-
-        def out_col(c: str) -> Column:
-            base = F.col(c)
-            dt = current.schema[c].dataType
-            if c in keys:
-                ins = base  # join key: already coalesced by the ON list
-            elif c == LSN_COL:
-                src_lsn = (
-                    F.col(f"src.{LSN_COL}").cast(dt)
-                    if LSN_COL in src_payload else F.lit(0).cast(dt)
-                )
-                # replaced marker keeps its shield; fresh key takes src lsn
-                ins = F.greatest(
-                    F.coalesce(src_lsn, F.lit(0).cast(dt)),
-                    F.coalesce(base, F.lit(0).cast(dt)),
-                )
-            elif c == TOMBSTONE_COL:
-                ins = F.lit(False).cast(dt)
-            elif c in src_payload:
-                ins = F.col(f"src.{c}").cast(dt)
-            else:
-                ins = F.lit(None).cast(dt)
-            col = F.when(F.col("__a") == "I", ins)
-            if matched_update is not None and c in matched_update:
-                # cast INSIDE the branch — see _rewrite_where on why letting
-                # when/otherwise unify types would corrupt unmatched rows
-                col = col.when(
-                    F.col("__a") == "U", matched_update[c].cast(dt)
-                )
-            return col.otherwise(base).alias(c)
-
-        out = with_action.filter(F.col("__a").isin("U", "I", "C")).select(
-            F.col(BUCKET_COL), *[out_col(c) for c in cur_cols]
-        )
-        new_version = self._next_version()
-        out_dir = os.path.join(self.root, "data", f"v{new_version}")
-        self._bucket_writer(
-            out.repartition(len(dirty), F.col(BUCKET_COL)), manifest
-        ).parquet(out_dir)
-        written = {
-            int(name.split("=", 1)[1])
-            for name in os.listdir(out_dir)
-            if name.startswith(f"{BUCKET_COL}=")
-        }
-        buckets = dict(manifest["buckets"])
-        for b in dirty:
-            if b in written:
-                buckets[str(b)] = new_version  # adds insert-only buckets too
-            else:
-                buckets.pop(str(b), None)      # a delete emptied the bucket
-        self._write_manifest(
-            self._with_file_stats({
-                **manifest,
-                "version": new_version,
-                "parent": int(manifest["version"]),
-                "buckets": buckets,
-                # dirty buckets were read delta-collapsed: their pending
-                # merge-on-read deltas are folded into the new base files
-                "deltas": {
-                    b: list(vs)
-                    for b, vs in manifest.get("deltas", {}).items()
-                    if int(b) not in set(dirty)
-                },
-                "summary": {
-                    "committed_at_ms": int(time.time() * 1000),
-                    "op": "merge_into",
-                    "rows_updated": result["rows_updated"],
-                    "rows_deleted": result["rows_deleted"],
-                    "rows_inserted": result["rows_inserted"],
-                    "rewritten_buckets": len(dirty),
-                },
-            }, out_dir)
-        )
-        with_action.unpersist()
-        result["buckets_rewritten"] = len(dirty)
-        return result
+        finally:
+            with_action.unpersist()
 
     def state_digest(
         self, version: int | None = None, ref: str | None = None

@@ -170,7 +170,9 @@ def debezium_to_merge_source(
     return _dead_letter_select(parsed, cols, valid, json_col, keep_corrupt)
 
 
-def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFrame:
+def merge_source_to_envelope(
+    src: DataFrame, key_columns: list[str], null_key_policy: str = "error"
+) -> DataFrame:
     """Lift merge-source rows (any adapter's output) into the engine's
     change-event envelope, so the full ingest chain — SMT pipeline, DLQ,
     ``foreachBatch`` MERGE — runs unchanged on a Debezium or Mongo tail.
@@ -181,9 +183,30 @@ def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFram
     delete encoding); ``_lsn`` becomes ``offset``. ``partition`` is 0 —
     a wire tail has no Kafka partition; per-partition lineage collapses
     to one global watermark, which is exactly the stream's total order.
+
+    ``null_key_policy`` governs rows with a NULL key COMPONENT. A
+    relational PK is NOT NULL, so such rows are outside the wire contract
+    — and no string encoding of them is safe: ``concat_ws`` skips null
+    components (``(NULL,'y')`` and ``('y',NULL)`` both serialize to
+    ``'y'``, colliding with real keys), while folding them all into a NULL
+    envelope key merges DISTINCT source keys like ``(NULL,'a')`` and
+    ``(NULL,'b')`` into one identity, so the downstream LWW merge silently
+    keeps one row of the two. Policies:
+
+    - ``"error"`` (default): ``raise_error`` on the first such row — loud
+      upstream-corruption signal, nothing merges under a wrong identity;
+    - ``"null"``: carry a NULL envelope key (all NULL-component rows share
+      the single null identity — never another key's — accepting the
+      cross-row collapse described above);
+    - ``"drop"``: filter such rows out of the envelope.
     """
     from kafka_connect_plugins_spark.engine import KEY_SEP
 
+    if null_key_policy not in ("error", "null", "drop"):
+        raise ValueError(
+            f"null_key_policy must be 'error', 'null' or 'drop', "
+            f"got {null_key_policy!r}"
+        )
     payload = [
         c
         for c in src.columns
@@ -197,22 +220,41 @@ def merge_source_to_envelope(src: DataFrame, key_columns: list[str]) -> DataFram
             "_corrupt_record",
         }
     ]
+    any_null = F.lit(False)
+    for k in key_columns:
+        any_null = any_null | F.col(k).isNull()
+    if null_key_policy == "drop":
+        src = src.filter(~any_null)
     value = F.when(
         ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)),
         F.struct(*[F.col(c) for c in payload]),
     )
-    # concat_ws SKIPS null components, so (NULL,'y') and ('y',NULL) would
-    # both serialize to 'y' — colliding distinct keys into one identity. A
-    # relational PK is NOT NULL, so NULL components are outside the wire
-    # contract; rather than corrupt, such rows carry a NULL envelope key
-    # (they merge under the explicit null identity, never under another's).
-    any_null = F.lit(False)
-    for k in key_columns:
-        any_null = any_null | F.col(k).isNull()
     key = F.when(
         ~any_null,
         F.concat_ws(KEY_SEP, *[F.col(k).cast("string") for k in key_columns]),
     )
+    if null_key_policy == "error":
+        key = key.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "merge_source_to_envelope: NULL component in the "
+                        f"composite key ({', '.join(key_columns)}): ("
+                    ),
+                    F.concat_ws(
+                        ", ",
+                        *[
+                            F.coalesce(F.col(k).cast("string"), F.lit("NULL"))
+                            for k in key_columns
+                        ],
+                    ),
+                    F.lit(
+                        ") — a relational PK is NOT NULL; fix the upstream "
+                        "extract or pass null_key_policy='null'/'drop'"
+                    ),
+                )
+            )
+        )
     return src.select(
         F.lit("cdc").alias("topic"),
         F.lit(0).alias("partition"),
@@ -305,6 +347,7 @@ def tail_wire_format(
     row_type: T.StructType,
     key_columns: list[str],
     max_files_per_trigger: int | None = None,
+    null_key_policy: str = "error",
 ) -> DataFrame:
     """Stream a JSON-lines CDC tail in a public wire format as envelope rows.
 
@@ -321,10 +364,10 @@ def tail_wire_format(
     raw = reader.text(events_dir)  # column: value string
     if wire_format == "debezium":
         src = debezium_to_merge_source(raw, row_type, key_columns)
-        return merge_source_to_envelope(src, key_columns)
+        return merge_source_to_envelope(src, key_columns, null_key_policy)
     if wire_format == "mongo":
         src = mongo_changestream_to_merge_source(raw, row_type)
-        return merge_source_to_envelope(src, ["_id"])
+        return merge_source_to_envelope(src, ["_id"], null_key_policy)
     raise ValueError(f"unknown wire format {wire_format!r} (debezium | mongo)")
 
 

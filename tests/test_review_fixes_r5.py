@@ -154,10 +154,12 @@ class TestEnvelopeNullKeyComponents:
              ("a", "b", "p3", 3, False)],
             "ka string, kb string, payload string, _lsn long, _tombstone boolean",
         )
-        env = merge_source_to_envelope(src, ["ka", "kb"])
+        env = merge_source_to_envelope(src, ["ka", "kb"], null_key_policy="null")
         keys = [r["key"] for r in env.orderBy("offset").collect()]
         # concat_ws would serialize rows 1 and 2 BOTH to 'x' — distinct
-        # source keys colliding. NULL components now yield a NULL key.
+        # source keys colliding. Under policy='null' such rows carry a NULL
+        # key (sharing the null identity, never a real key's); the DEFAULT
+        # policy is 'error' — see test_review_fixes_r5c.py.
         assert keys == [None, None, "a|b"]
 
 
