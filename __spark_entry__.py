@@ -508,6 +508,46 @@ def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over a maximally hot grouping key.
+
+    ``event_type`` has ~5 values over the whole table, so a naive
+    ``groupBy(event_type)`` funnels every row of a hot group through one
+    reduce task — the skew shape the north rule calls out. The salted
+    rewrite bounds any group's share of a task at ~1/32: phase 1 groups by
+    ``(event_type, salt)`` (xxhash64 of the unique event id, mod 32 — a
+    deterministic salt, so replays produce identical layouts) and collapses
+    to 32 partial rows per group on many cores in parallel; phase 2 groups
+    the ≤ 32·|groups| partials by ``event_type`` alone. Both phases are
+    hash aggregates with map-side combine; the second shuffle moves only
+    the tiny partial table. Sums ride in DECIMAL so the two-level
+    association order cannot drift from the oracle's single-level sum
+    (a double sum would differ in the last ulp); the final cast to DOUBLE
+    is exact-from-decimal on both engines. AQE's skew handling splits
+    oversized *partitions*, not a single hot *key* inside one task — the
+    salt handles the case AQE can't (same trade documented in
+    operators/salted_repartition.py). Ref context: the reference's CRC32
+    router (ModifyPartition.kt:39-40) is one-partition-per-key with no
+    skew story at all."""
+    events = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(30,6)")
+    partial = events.groupBy(
+        "event_type",
+        F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("__salt"),
+    ).agg(
+        F.count(F.lit(1)).alias("__pn"),
+        F.sum(val).alias("__psum"),
+        F.min("value").alias("__pmin"),
+        F.max("value").alias("__pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__pn").alias("n_events"),
+        F.sum("__psum").cast("double").alias("sum_value"),
+        F.min("__pmin").alias("min_value"),
+        F.max("__pmax").alias("max_value"),
+    )
+
+
 def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) aggregate: per-user running sum of `value` in
     event-time order. ROWS frame over a per-user ordered window — one
@@ -2005,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "events_in_order_windows": q_events_in_order_windows,
         "pivot_user_events": q_pivot_user_events,
+        "skew_salted_stats": q_skew_salted_stats,
         "user_running_value": q_user_running_value,
         "event_sessions_batch": q_event_sessions_batch,
         "token_postings": q_token_postings,
@@ -2892,6 +2933,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
                    count(*) FILTER (WHERE event_type = 'view')     AS n_view
             FROM events GROUP BY user_id
+        """,
+        "skew_salted_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                       AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY event_type
         """,
         "user_running_value": """
             SELECT event_id, user_id, ts,

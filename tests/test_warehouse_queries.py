@@ -121,3 +121,41 @@ class TestStratifiedSample:
             .collect()
         }
         assert a == b
+
+
+class TestSkewSaltedStats:
+    def test_salted_matches_naive_groupby_exactly(self, spark, sf_dir):
+        """The salt must be algebraically invisible: the two-phase plan
+        returns byte-identical stats to the naive one-phase groupBy."""
+        out = {
+            r["event_type"]: (
+                r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+            )
+            for r in entry.q_skew_salted_stats(spark, sf_dir).collect()
+        }
+        naive = {
+            r["event_type"]: (
+                r["n"], r["s"], r["mn"], r["mx"]
+            )
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("s"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert out == naive
+
+    def test_plan_is_two_phase(self, spark, sf_dir):
+        """Physical shape: two aggregation levels (salted partial, final),
+        i.e. two distinct grouping exchanges — and the salt column never
+        escapes into the output schema."""
+        df = entry.q_skew_salted_stats(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") >= 2
+        assert "__salt" not in df.columns
