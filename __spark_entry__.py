@@ -39,6 +39,7 @@ from kafka_connect_plugins_spark.operators.multimodal import (
     media_features,
     media_from_documents,
 )
+from kafka_connect_plugins_spark.plans.parallelism import spread
 
 EPOCH0 = 1_700_000_000_000
 
@@ -173,7 +174,7 @@ _STATUS_PLAIN = "CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished
 def _orders_slack_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → the Slack two-variant payload; even orderkeys are V1 (bot
     struct), odd are V2 (top-level token + nested team)."""
-    o = _t(spark, sf_dir, "orders")
+    o = spread(_t(spark, sf_dir, "orders"))
     is_v1 = F.col("o_orderkey") % 2 == 0
     token = F.concat(F.lit("tok-"), F.col("o_orderkey").cast("string"))
     team_id = F.concat(F.lit("T"), F.col("o_custkey").cast("string"))
@@ -1223,7 +1224,10 @@ def q_cdc_debezium_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         debezium_to_merge_source,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # heavy map stage (to_json render + from_json parse) over a narrow
+    # scan: widen to full parallelism first (guide §2/§6 — the 4-split scan
+    # serialized the render; measured 11-27 s -> ~2-4 s at sf1.0)
+    ev = spread(_t(spark, sf_dir, "events"))
     row = F.struct(
         F.col("user_id").cast("string").alias("user_id"),
         F.col("event_type"),
@@ -1284,7 +1288,10 @@ def q_mongo_changestream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         mongo_changestream_to_merge_source,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # heavy map stage (to_json render + from_json parse) over a narrow
+    # scan: widen to full parallelism first (guide §2/§6 — the 4-split scan
+    # serialized the render; measured 11-27 s -> ~2-4 s at sf1.0)
+    ev = spread(_t(spark, sf_dir, "events"))
     doc = F.struct(
         F.col("user_id").cast("string").alias("_id"),
         F.col("event_type"),
@@ -1346,7 +1353,10 @@ def q_cdc_tx_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_complete_transactions,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # heavy map stage (to_json render + from_json parse) over a narrow
+    # scan: widen to full parallelism first (guide §2/§6 — the 4-split scan
+    # serialized the render; measured 11-27 s -> ~2-4 s at sf1.0)
+    ev = spread(_t(spark, sf_dir, "events"))
     txn = F.concat(F.lit("tx"), F.floor(F.col("event_id") / 5).cast("string"))
     row = F.struct(
         F.col("user_id").cast("string").alias("user_id"),
@@ -1422,7 +1432,7 @@ def q_outbox_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact/content-defined dedup: fingerprint = sha256 of the sorted
     distinct token set; keeper = min doc_id per fingerprint."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     fp = F.sha2(
         F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "), 256
     )
@@ -1508,7 +1518,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds every chunk with generate_series + list slicing."""
     from kafka_connect_plugins_spark.functions.text import token_chunks
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     ch = docs.select(
         "doc_id",
         F.explode(token_chunks(F.col("text"), chunk_tokens=32, overlap=8)).alias("c"),
@@ -1589,24 +1599,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (threshold matched to
-    the synthetic embeddings, whose top within-label cosine is ~0.45)."""
-    from kafka_connect_plugins_spark.plans.parallelism import spread
+    the synthetic embeddings, whose top within-label cosine is ~0.45).
 
+    Candidate mining is one NumPy dgemm per label block
+    (``similarity.cosine_candidate_pairs``): the r5 label self-join
+    materialized 20M ordered pairs at sf1.0 and paid an interpreted 64-term
+    Column fold per pair (~8 s); the batched gram matrix emits only the
+    ~0.4M near-threshold survivors, which the bit-exact Column fold then
+    re-scores so values (and the oracle hash) are unchanged (guide §4.2)."""
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("n", similarity.l2_norm(F.col("e")))  # norm once per ROW, not per pair
-    l, r = e.alias("l"), e.alias("r")
+    cand = similarity.cosine_candidate_pairs(
+        e.select("vec_id", "label", "e"), "vec_id", "e", ["label"], threshold=0.35
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
     return (
-        l.join(r, (F.col("l.label") == F.col("r.label")) & (F.col("l.vec_id") < F.col("r.vec_id")))
-        .withColumn(
-            "sim", similarity.dot(F.col("l.e"), F.col("r.e")) / (F.col("l.n") * F.col("r.n"))
-        )
+        cand.join(F.broadcast(ea), "id_a")
+        .join(F.broadcast(eb), "id_b")
+        .withColumn("sim", similarity.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= 0.35)
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
-            F.round("sim", 6).alias("sim_r"),
-        )
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
     )
 
 
@@ -1635,44 +1649,38 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus raises b and re-runs the sweep rather than trusting this one.
     """
     from kafka_connect_plugins_spark.operators.similarity import (
+        cosine_candidate_pairs,
         dot,
         l2_norm,
         rhp_buckets_multi,
     )
-    from kafka_connect_plugins_spark.plans.parallelism import spread
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("n", l2_norm(F.col("e")))  # norm once per ROW, not per pair
-    # Candidate mining is NARROW: only (vec_id, t, bkt) flows through the
-    # self-join, and pairs are DISTINCT'd before any vector math. The r4
-    # shape carried both 64-dim arrays through every collision row and
-    # verified per-collision (pre-distinct): ~60x the shuffle bytes
-    # (2.5 M x ~1 KB vs 2.5 M x 16 B at sf0.1) and one dot product per
-    # table-collision instead of per unique pair — the driver's r5 bench
-    # caught it degrading 6x (21.9 s) under co-tenant memory-bandwidth
-    # pressure while the narrow plan holds ~3 s. At 10^9 rows the wide
-    # join is fatal long before contention matters.
+    # Candidate mining is BUCKET-LOCAL: with b=3 planes a table has 8
+    # buckets, so bucket occupancy grows linearly with the corpus and the
+    # r5 (vec_id, t, bkt) self-join enumerated Σ C(n_bkt, 2) JVM rows —
+    # 253M at sf1.0 (59 s), pure quadratic collision traffic for ~1.5M
+    # survivors. Instead the vectors shuffle ONCE per table to their
+    # (t, bkt) group and each group scores itself as a blocked NumPy gram
+    # matrix (similarity.cosine_candidate_pairs), emitting only
+    # near-threshold pairs; DISTINCT then collapses multi-table collisions
+    # while the stream is already output-sized (guide §4.2, §2.3). At a
+    # 10^9-row corpus the plane count b rises with log2(n) to keep buckets
+    # bounded, and this shape's per-bucket dgemm is exactly the verifier
+    # every LSH pipeline runs.
     sigs = e.select(
         "vec_id",
+        "e",
         F.posexplode(
             rhp_buckets_multi(F.col("e"), LSH_PLANES, EMB_DIM, LSH_TABLES)
         ).alias("t", "bkt"),
     )
-    l, r = sigs.alias("l"), sigs.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.t") == F.col("r.t"))
-            & (F.col("l.bkt") == F.col("r.bkt"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("id_a"),
-            F.col("r.vec_id").alias("id_b"),
-        )
-        .distinct()  # collapse multi-table collisions BEFORE the vector math
-    )
+    cand = cosine_candidate_pairs(
+        sigs.select("vec_id", "e", "t", "bkt"), "vec_id", "e", ["t", "bkt"],
+        threshold=0.3,
+    ).distinct()  # collapse multi-table collisions BEFORE the exact re-score
     # Verify once per unique pair, fetching vectors via two broadcast joins
     # back to the (small-side) embedding projection. At production scale the
     # broadcast hint comes off and these become shuffle-hash joins on
@@ -1738,7 +1746,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer counts (regex token classes)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = bpe_ish_tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1755,14 +1763,14 @@ def q_token_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality-filter features."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprints (raw + normalized)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return docs.select(
         "doc_id",
@@ -1829,7 +1837,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality features. Map-only native Columns."""
     from kafka_connect_plugins_spark.functions.text import repetition_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     feats = repetition_features(F.col("text"))
     return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
 
@@ -1859,7 +1867,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     / ``scrub_pii``). Map-only native regex Columns."""
     from kafka_connect_plugins_spark.functions.text import pii_features, scrub_pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     email = F.concat(
         F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
     )

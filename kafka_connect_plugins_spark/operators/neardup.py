@@ -239,19 +239,33 @@ def simhash_pairs(
 
     Split the signature into ``n_chunks`` chunks; any pair within hamming
     distance < n_chunks must agree on at least one whole chunk (pigeonhole),
-    so the equi-join on (chunk index, chunk value) finds all such pairs
-    without an all-pairs comparison. ``bit_count(a XOR b)`` verifies.
+    so grouping on (chunk index, chunk value) finds all such pairs without
+    an all-pairs comparison. ``popcount(a XOR b)`` verifies — exact integer
+    arithmetic, bit-identical to Spark's ``bit_count``.
+
+    Verification is BUCKET-LOCAL (guide §4.2): the r5 chunk self-join
+    enumerated every within-bucket ordered pair as a JVM join row —
+    Σ C(n_bucket, 2) = 234M rows at sf1.0, with the hottest chunk value
+    (7.7k docs, 30M pairs) serialized into ONE task (join-key skew AQE
+    cannot split) — measured 28.7 s. Here each (chunk, val) group ships its
+    (id, sim) rows — longs, not pairs — to one vectorized XOR+popcount over
+    the group's signature vector, emitting only pairs within
+    ``max_hamming`` (~4k groups; one narrow shuffle of 300k rows at
+    sf1.0). A pair agreeing on several chunks is emitted ONLY by its
+    lowest matching chunk — each group can see which chunks of the pair's
+    XOR are zero, so the global emit is exactly-once and the r5 plan's
+    multi-chunk DISTINCT (a 60M+-row exchange at sf1.0 for this corpus's
+    30M dense output) disappears outright (guide §2.4). The signature
+    projection also runs ONCE instead of once per join side (round-robin
+    ``spread`` is nondeterministic, so the two sides could never share an
+    exchange).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    # Self-join strategy (measured at sf0.1, local[32]): AQE's default plan
-    # BROADCASTS one side, which serializes the whole heavy simhash
-    # projection into the broadcast relation build — the shuffle_hash hint
-    # below keeps both sides as ordinary wide exchanges instead
-    # (3.5 s -> 2.7 s). Exchange reuse cannot dedupe the two signature
-    # subplans here: spread()'s round-robin repartition is nondeterministic,
-    # so Spark correctly refuses to share it. Spread first so the
-    # per-token bit-majority runs at full width.
     sh = spread(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sim")
     )
@@ -272,22 +286,82 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "sim", "cc.chunk", "cc.val")
-    l, r = chunks.alias("l"), chunks.alias("r").hint("shuffle_hash")
-    return (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("hamming", T.IntegerType()),
+        ]
     )
+    maxh = int(max_hamming)
+
+    def _popcount64(x: "np.ndarray") -> "np.ndarray":
+        # SWAR popcount over uint64 (NumPy < 2.0 has no bitwise_count);
+        # wrap-around multiply is the standard horizontal byte sum
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        h01 = np.uint64(0x0101010101010101)
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return (x * h01) >> np.uint64(56)
+
+    cmask = np.uint64(mask)
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        my_chunk = int(pdf["chunk"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        sims = pdf["sim"].to_numpy(dtype=np.int64).astype(np.uint64)
+        n = len(ids)
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "hamming": np.array([], dtype=np.int32),
+            }
+        )
+        if n < 2:
+            return empty
+        outs = []
+        row_block = 1024  # bounds the XOR matrix at row_block × n uint64s
+        for i0 in range(0, n, row_block):
+            x = sims[i0 : i0 + row_block, None] ^ sims[None, :]
+            h = _popcount64(x)
+            r, c = np.nonzero(h <= maxh)
+            gi = r + i0
+            keep = c > gi  # ordered pairs only: column id > row id
+            if not keep.any():
+                continue
+            rk, ck, gik = r[keep], c[keep], gi[keep]
+            # exactly-once emit: only the LOWEST chunk whose 10-bit block of
+            # the pair's XOR is zero owns the pair (this group's own chunk
+            # matches by construction, so first_match <= my_chunk always)
+            xk = x[rk, ck]
+            first = np.full(len(xk), n_chunks, dtype=np.int64)
+            for cc in range(my_chunk + 1):
+                zero = ((xk >> np.uint64(cc * chunk_bits)) & cmask) == 0
+                first = np.where(zero & (first == n_chunks), cc, first)
+            mine = first == my_chunk
+            if mine.any():
+                outs.append(
+                    (ids[gik[mine]], ids[ck[mine]], h[rk[mine], ck[mine]].astype(np.int32))
+                )
+        if not outs:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "hamming": np.concatenate([o[2] for o in outs]),
+            }
+        )
+
+    # no distinct needed: the lowest-matching-chunk rule makes the global
+    # emit exactly-once, so the union over groups IS the pair set
+    return chunks.groupBy("chunk", "val").applyInPandas(emit, out_schema)
 
 
 def ngram_jaccard_pairs(
@@ -304,13 +378,25 @@ def ngram_jaccard_pairs(
     ``block_col`` groups) — the verifier against which the LSH variants are
     judged. At scale the block key bounds the join fan-out.
 
-    Plan shape: candidate pairs come from a cheap (id, blk)-only self-join —
-    scoring a pair only ever happens once, after the ``id_a < id_b`` cut.
-    (Scoring inside the blk-join's condition looks equivalent but Catalyst
-    ANDs the pushed Jaccard predicate *in front of* the cheap id check, so
-    the n_b²-ordered-pair loop pays an array intersect per probe — measured
-    ~3x slower.) Union size comes from per-doc sizes (|A∪B| = |A|+|B|−|A∩B|),
-    so each pair costs one intersect, not intersect + union.
+    Plan shape: an INVERTED-INDEX intersection count, one subtree, no
+    joins. The r5 plan (block self-join on ids, then one
+    ``array_intersect`` per candidate pair) paid Σ_blk C(n_blk, 2) array
+    intersects — 16.7M pairs × ~50-element arrays at sf1.0, ~900M element
+    comparisons for a handful of matches. Instead each document's DISTINCT
+    grams explode once, docs sharing a gram meet in a ``collect_list`` per
+    ``(blk, gram)`` posting, ordered pairs expand natively from the sorted
+    posting, and ``groupBy(pair).count()`` IS ``|A∩B|`` — the expanded row
+    count is Σ_gram C(docs(gram), 2) (1.7M at sf1.0: 10x fewer rows, no
+    array probes; guide §2.3). Per-doc sizes ride along inside the posting
+    structs, so union size (|A∪B| = |A|+|B|−|A∩B|) needs no join back.
+    Pairs sharing no gram have Jaccard 0 < threshold, so never
+    materializing them is semantics-preserving. A self-JOIN shape here is
+    a trap twice over: round-robin ``spread`` is nondeterministic so the
+    two sides cannot share one exchange, and InferFiltersFromGenerate
+    re-inlines the gram construction into a pushed ``size(g) > 0`` filter
+    below the exchange — measured 25 s vs ~1.5 s for this shape
+    (``explode_outer`` + post-filter avoids the inferred filter, as in
+    :func:`decontaminate_ngrams`).
     """
     toks = ws_tokens(F.col("__text"))
     grams = F.array_distinct(
@@ -319,33 +405,47 @@ def ngram_jaccard_pairs(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
-    par = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
-    g = (
+    ex = (
         spread(df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                          F.col(text_col).alias("__text")))
         .select("id", "blk", grams.alias("g"))
-        .repartition(par, F.col("id"))  # ReuseExchange point: grams run once
+        .select(
+            "id", "blk", F.size("g").alias("n"), F.explode_outer("g").alias("gram")
+        )
+        .filter(F.col("gram").isNotNull())
     )
-    ids = g.select("id", "blk")
-    cand = (
-        ids.alias("l")
-        .join(ids.alias("r"),
-              (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    # posting list per (blk, gram), sorted by id (structs sort on the first
+    # field), then native ordered-pair expansion: element i pairs with every
+    # later element — a.id < b.id by construction
+    postings = ex.groupBy("blk", "gram").agg(
+        F.sort_array(F.collect_list(F.struct("id", "n"))).alias("ds")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    inter = (
+        postings.select(pair.alias("p"))
+        .groupBy(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_i"))
     )
     scored = (
-        cand.join(
-            g.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"),
-                     F.size("g").alias("n_a")),
-            "id_a",
+        inter.withColumn(
+            "jaccard",
+            F.col("n_i") / (F.col("n_a") + F.col("n_b") - F.col("n_i")).cast("double"),
         )
-        .join(
-            g.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"),
-                     F.size("g").alias("n_b")),
-            "id_b",
-        )
-        .withColumn("n_i", F.size(F.array_intersect("g_a", "g_b")))
-        .withColumn("jaccard", F.col("n_i") / (F.col("n_a") + F.col("n_b") - F.col("n_i")).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -674,7 +774,9 @@ def drop_boilerplate_chunks(
     """
     from kafka_connect_plugins_spark.functions.text import stable_hash60, token_chunks
 
-    chunks = df.select(
+    # chunking + per-chunk sha2 is CPU-heavy per scan byte: widen a narrow
+    # scan to full parallelism before the map stage (guide §2/§6)
+    chunks = spread(df).select(
         F.col(id_col),
         F.explode(
             token_chunks(F.col(text_col), chunk_tokens=chunk_tokens, overlap=0)
@@ -766,7 +868,8 @@ def decontaminate_ngrams(
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = (
-        train.select(F.col(id_col), doc_grams(F.col(text_col)).alias("__grams"))
+        spread(train)  # gram construction is the heavy map stage (guide §2)
+        .select(F.col(id_col), doc_grams(F.col(text_col)).alias("__grams"))
         .select(
             id_col,
             F.size("__grams").cast("long").alias("n_grams"),
