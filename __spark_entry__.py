@@ -486,9 +486,13 @@ def q_events_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         (F.col("o_orderdate") + F.expr("interval 7 days")).alias("o_window_end"),
     )
+    # Guide §3.1: build the per-partition hash from the narrow event side
+    # (3 columns, never amplified by the bucket explode) instead of sorting
+    # BOTH sides for a sort-merge join — the hint rides the subtree into
+    # the operator's equi-join. Measured 3.2 -> 2.2 s at sf1.0.
     out = interval_join(
-        ev, r, "user_id", "o_custkey", "asof_ts", "o_orderdate", "o_window_end",
-        bucket="7 days",
+        ev.hint("shuffle_hash"), r, "user_id", "o_custkey", "asof_ts",
+        "o_orderdate", "o_window_end", bucket="7 days",
     )
     return out.select("event_id", "user_id", "asof_ts", "r_o_orderkey")
 
@@ -1619,27 +1623,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (threshold matched to
     the synthetic embeddings, whose top within-label cosine is ~0.45).
 
-    Candidate mining is one NumPy dgemm per label block
-    (``similarity.cosine_candidate_pairs``): the r5 label self-join
-    materialized 20M ordered pairs at sf1.0 and paid an interpreted 64-term
-    Column fold per pair (~8 s); the batched gram matrix emits only the
-    ~0.4M near-threshold survivors, which the bit-exact Column fold then
-    re-scores so values (and the oracle hash) are unchanged (guide §4.2)."""
+    Candidate mining AND exact verification are one NumPy pass per label
+    block (``similarity.cosine_candidate_pairs`` with ``emit_sim=True``):
+    the r5 label self-join materialized 20M ordered pairs at sf1.0 and
+    paid an interpreted 64-term Column fold per pair (~8 s); the batched
+    gram matrix screens, then the group emits the exact sequential-fold
+    cosine for survivors — bit-identical to the Column fold and the SQL
+    oracle's ``list_reduce`` — so the r6 join-back + per-pair re-score
+    stage is gone outright (guide §4.2, §2.3)."""
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("n", similarity.l2_norm(F.col("e")))  # norm once per ROW, not per pair
+    )
     cand = similarity.cosine_candidate_pairs(
-        e.select("vec_id", "label", "e"), "vec_id", "e", ["label"], threshold=0.35
+        e.select("vec_id", "label", "e"), "vec_id", "e", ["label"],
+        threshold=0.35, emit_sim=True,
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
-    return (
-        cand.join(F.broadcast(ea), "id_a")
-        .join(F.broadcast(eb), "id_b")
-        .withColumn("sim", similarity.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("sim") >= 0.35)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
-    )
+    return cand.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
 
 N_CENTROIDS = 8
@@ -1668,14 +1667,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_connect_plugins_spark.operators.similarity import (
         cosine_candidate_pairs,
-        dot,
-        l2_norm,
         rhp_buckets_multi,
     )
 
     e = spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("n", l2_norm(F.col("e")))  # norm once per ROW, not per pair
+    )
     # Candidate mining is BUCKET-LOCAL: with b=3 planes a table has 8
     # buckets, so bucket occupancy grows linearly with the corpus and the
     # r5 (vec_id, t, bkt) self-join enumerated Σ C(n_bkt, 2) JVM rows —
@@ -1695,23 +1692,21 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             rhp_buckets_multi(F.col("e"), LSH_PLANES, EMB_DIM, LSH_TABLES)
         ).alias("t", "bkt"),
     )
+    # Each (t, bkt) group screens with the gram matrix AND emits the exact
+    # sequential-fold cosine (emit_sim=True — bit-identical to the Column
+    # fold / the oracle's list_reduce), so the r6 tail (distinct ->
+    # two broadcast joins back to the vectors -> interpreted 64-term fold
+    # per candidate) collapses to one DISTINCT over the already-verified,
+    # output-sized pair stream. A pair colliding in several tables emits
+    # the same (id_a, id_b, sim) doubles from each group, so the distinct
+    # still collapses multi-table duplicates exactly (guide §2.3, §4.2).
     cand = cosine_candidate_pairs(
         sigs.select("vec_id", "e", "t", "bkt"), "vec_id", "e", ["t", "bkt"],
-        threshold=0.3,
-    ).distinct()  # collapse multi-table collisions BEFORE the exact re-score
-    # Verify once per unique pair, fetching vectors via two broadcast joins
-    # back to the (small-side) embedding projection. At production scale the
-    # broadcast hint comes off and these become shuffle-hash joins on
-    # vec_id — still narrow-keyed and skew-free (ids are unique).
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb"))
-    return (
-        cand.join(F.broadcast(ea), "id_a")
-        .join(F.broadcast(eb), "id_b")
-        .withColumn("sim", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("sim") >= 0.3)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+        threshold=0.3, emit_sim=True,
     )
+    return cand.select(
+        "id_a", "id_b", F.round("sim", 6).alias("sim_r")
+    ).distinct()
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

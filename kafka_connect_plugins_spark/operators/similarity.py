@@ -216,6 +216,7 @@ def cosine_candidate_pairs(
     threshold: float,
     margin: float = 1e-6,
     row_block: int = 2048,
+    emit_sim: bool = False,
 ) -> DataFrame:
     """Within-block cosine pair mining as one dgemm per row-block — the
     candidate half of a pair-similarity query, replacing a JVM self-join
@@ -230,19 +231,32 @@ def cosine_candidate_pairs(
     same work here is 80 dgemms (~64 GFLOP total) emitting the ~1.5M
     survivors (guide §4.2: batch the math, move decisions not payloads).
 
-    This is a conservative PREFILTER, not the verifier: BLAS reorders the
-    dot-product sums, so a pair within ~1e-13 of the threshold could round
-    differently from the sequential fold. ``margin`` keeps every exact
-    match in the candidate set; the caller re-scores candidates with the
-    bit-exact Column fold (:func:`dot` / :func:`l2_norm`) and applies the
-    exact threshold, so final results are identical to the pure-JVM plan
-    (and to the SQL oracle's ``list_sum``). Zero-norm vectors emit with a
-    norm of 1 here and are resolved by the exact re-score.
+    Without ``emit_sim`` this is a conservative PREFILTER, not the
+    verifier: BLAS reorders the dot-product sums, so a pair within ~1e-13
+    of the threshold could round differently from the sequential fold.
+    ``margin`` keeps every exact match in the candidate set; the caller
+    re-scores candidates with the bit-exact Column fold (:func:`dot` /
+    :func:`l2_norm`) and applies the exact threshold, so final results are
+    identical to the pure-JVM plan (and to the SQL oracle's ``list_sum``).
+    Zero-norm vectors emit with a norm of 1 here and are resolved by the
+    exact re-score.
+
+    With ``emit_sim=True`` the group VERIFIES its own candidates and emits
+    ``(id_a, id_b, sim)`` where ``sim`` is bit-identical to
+    ``dot(a,b)/(l2_norm(a)*l2_norm(b))``: per-element products round
+    identically in IEEE float64, and ``np.add.accumulate`` sums them in the
+    same strict left-to-right order as the Column fold / the oracle's
+    ``list_reduce`` (the fold's leading ``0.0 +`` differs only on an
+    all-±0.0 dot product, which sits below any positive threshold and is
+    never emitted). The exact threshold is applied in-group, so no
+    join-back, no second pass over the vectors, and the margin slop never
+    leaves the group (guide §2.3: move decisions, not payloads).
     """
     cut = float(threshold) - float(margin)
-    out_schema = T.StructType(
-        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
-    )
+    fields = [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    if emit_sim:
+        fields.append(T.StructField("sim", T.DoubleType()))
+    out_schema = T.StructType(fields)
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)  # index order below IS id order
@@ -252,21 +266,43 @@ def cosine_candidate_pairs(
         nrm[nrm == 0] = 1.0
         xn = x / nrm[:, None]
         n = len(ids)
-        outs_a, outs_b = [], []
+        if emit_sim:
+            # exact per-row norms, sequential-fold order (see docstring)
+            seq_norm = np.sqrt(np.add.accumulate(x * x, axis=1)[:, -1])
+            seq_norm_safe = np.where(seq_norm == 0, 1.0, seq_norm)
+        outs_a, outs_b, outs_s = [], [], []
         for i0 in range(0, n, row_block):
             s = xn[i0 : i0 + row_block] @ xn.T
             r, c = np.nonzero(s >= cut)
             gi = r + i0
             keep = c > gi  # ordered pairs only: column id > row id
-            if keep.any():
-                outs_a.append(ids[gi[keep]])
-                outs_b.append(ids[c[keep]])
+            if not keep.any():
+                continue
+            gik, ck = gi[keep], c[keep]
+            if emit_sim:
+                prod = x[gik] * x[ck]
+                dots = np.add.accumulate(prod, axis=1)[:, -1]
+                sims = dots / (seq_norm_safe[gik] * seq_norm_safe[ck])
+                ok = (sims >= float(threshold)) & (seq_norm[gik] != 0) & (
+                    seq_norm[ck] != 0
+                )
+                if ok.any():
+                    outs_a.append(ids[gik[ok]])
+                    outs_b.append(ids[ck[ok]])
+                    outs_s.append(sims[ok])
+            else:
+                outs_a.append(ids[gik])
+                outs_b.append(ids[ck])
         if not outs_a:
-            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                                 "id_b": np.array([], dtype=np.int64)})
-        return pd.DataFrame(
-            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
-        )
+            cols = {"id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64)}
+            if emit_sim:
+                cols["sim"] = np.array([], dtype=np.float64)
+            return pd.DataFrame(cols)
+        cols = {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        if emit_sim:
+            cols["sim"] = np.concatenate(outs_s)
+        return pd.DataFrame(cols)
 
     return df.groupBy(*[F.col(c) for c in block_cols]).applyInPandas(
         emit, out_schema
