@@ -73,10 +73,46 @@ def cosine(a: Column, b: Column) -> Column:
 # NumPy / Arrow vectorized hot path
 # ----------------------------------------------------------------------
 
+_BLAS_PINNED: set = set()
+
+
+def _pin_blas_single_thread() -> None:
+    """Cap OpenBLAS at one thread in this (worker) process.
+
+    OpenBLAS spawns its own pool inside EVERY Python worker; with 32
+    workers per host the per-bucket gemms oversubscribe the box and
+    intermittently stall 5-10x (measured: 2.4 s passes spiking to 20 s on
+    embedding_neardup_lsh; OPENBLAS_NUM_THREADS=1 removes the spikes).
+    Spark owns the parallelism here — one task per core — so BLAS must be
+    sequential. Env vars are too late (the worker imports numpy before
+    user code runs), so call the runtime API on the already-loaded
+    library. Per-process, idempotent, silently a no-op for non-OpenBLAS
+    builds. Values are unaffected — only thread count changes."""
+    import ctypes
+    import glob
+    import os
+
+    if os.getpid() in _BLAS_PINNED:
+        return
+    _BLAS_PINNED.add(os.getpid())
+    for path in glob.glob(
+        os.path.join(os.path.dirname(np.__file__) + ".libs", "libopenblas*")
+    ) + glob.glob(os.path.join(os.path.dirname(np.__file__), "..", "numpy.libs", "libopenblas*")):
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue
+        for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+            if hasattr(lib, sym):
+                getattr(lib, sym)(1)
+                return
+
+
 def _mat(s: pd.Series) -> np.ndarray:
     """Stack one Arrow batch of array cells into a (rows, dim) float64
     matrix. float64 regardless of the storage type, so sign/ordering
     decisions match the double-precision oracle."""
+    _pin_blas_single_thread()
     return np.stack(s.to_numpy()).astype(np.float64, copy=False)
 
 
@@ -259,6 +295,7 @@ def cosine_candidate_pairs(
     out_schema = T.StructType(fields)
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        _pin_blas_single_thread()  # Spark owns parallelism; see helper
         pdf = pdf.sort_values(id_col)  # index order below IS id order
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
